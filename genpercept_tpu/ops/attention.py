@@ -1,0 +1,70 @@
+"""Attention for the SD2.1 UNet and VAE on TPU.
+
+This is the xformers replacement (reference enables
+`enable_xformers_memory_efficient_attention`, `run.py:383`): a single
+`dot_product_attention` entry point that dispatches to either a pure-XLA
+implementation (fusible, fine for short sequences such as cross-attention
+over 77 text tokens) or a Pallas flash-attention kernel for the long
+self-attention sequences (96^2 = 9216 latent tokens at 768^2 input).
+
+Layout: (batch, seq, heads, head_dim) — "BSHD" — chosen so the heads axis can
+be sharded over a `model` mesh axis without relayout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, scale):
+    """Plain softmax attention; XLA fuses this well for short KV."""
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float | None = None,
+    use_flash: bool | None = None,
+) -> jax.Array:
+    """q: (B, Sq, H, D), k/v: (B, Sk, H, D) -> (B, Sq, H, D).
+
+    `use_flash=None` auto-selects: Pallas flash kernel when both sequence
+    lengths are long and shapes are tile-aligned; XLA otherwise.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    sq, sk = q.shape[1], k.shape[1]
+    if use_flash is None:
+        use_flash = (
+            sq >= 1024 and sk >= 1024 and sq % 512 == 0 and sk % 512 == 0
+        )
+    if use_flash:
+        from genpercept_tpu.ops.flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v, scale=scale)
+        except Exception:  # pragma: no cover — fall back if kernel unsupported
+            return _xla_attention(q, k, v, scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def attention_projection(x, w, b=None):
+    """Linear projection for q/k/v/out: x (..., Din) @ w (Din, Dout)."""
+    out = jnp.einsum(
+        "...i,io->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)

@@ -1,0 +1,182 @@
+"""Numerical parity tests for core ops against torch CPU references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from genpercept_tpu.ops import (
+    conv2d,
+    dot_product_attention,
+    group_norm,
+    layer_norm,
+    resize,
+    timestep_embedding,
+)
+from genpercept_tpu.ops.colorize import colorize_depth
+from genpercept_tpu.ops.conv import conv1x1
+
+
+def test_group_norm_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 6, 5, 32)).astype(np.float32)  # NHWC
+    scale = rng.normal(size=(32,)).astype(np.float32)
+    bias = rng.normal(size=(32,)).astype(np.float32)
+
+    ours = group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                      num_groups=8, eps=1e-5)
+
+    gn = torch.nn.GroupNorm(8, 32, eps=1e-5)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(scale))
+        gn.bias.copy_(torch.from_numpy(bias))
+        theirs = gn(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-5)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, 7, 16)).astype(np.float32)
+    w = rng.normal(size=(16,)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    ours = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    theirs = F.layer_norm(
+        torch.from_numpy(x), (16,), torch.from_numpy(w), torch.from_numpy(b)
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-5)
+
+
+@pytest.mark.parametrize("stride,pad", [(1, 1), (2, 1), (1, 0)])
+def test_conv2d_matches_torch(stride, pad):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 8, 8, 5)).astype(np.float32)
+    w_oihw = rng.normal(size=(7, 5, 3, 3)).astype(np.float32)
+    b = rng.normal(size=(7,)).astype(np.float32)
+
+    w_hwio = np.transpose(w_oihw, (2, 3, 1, 0))
+    ours = conv2d(jnp.asarray(x), jnp.asarray(w_hwio), jnp.asarray(b),
+                  stride=stride, padding=pad)
+    theirs = F.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w_oihw), torch.from_numpy(b),
+        stride=stride, padding=pad,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
+
+
+def test_conv1x1_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 4, 4, 6)).astype(np.float32)
+    w_oihw = rng.normal(size=(9, 6, 1, 1)).astype(np.float32)
+    b = rng.normal(size=(9,)).astype(np.float32)
+    w_io = np.transpose(w_oihw[:, :, 0, 0], (1, 0))
+    ours = conv1x1(jnp.asarray(x), jnp.asarray(w_io), jnp.asarray(b))
+    theirs = F.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(w_oihw), torch.from_numpy(b),
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
+
+
+def test_attention_matches_torch_sdpa():
+    rng = np.random.default_rng(4)
+    b, sq, sk, h, d = 2, 10, 7, 3, 16
+    q = rng.normal(size=(b, sq, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, sk, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, sk, h, d)).astype(np.float32)
+
+    ours = dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), use_flash=False
+    )
+    theirs = F.scaled_dot_product_attention(
+        torch.from_numpy(q).permute(0, 2, 1, 3),
+        torch.from_numpy(k).permute(0, 2, 1, 3),
+        torch.from_numpy(v).permute(0, 2, 1, 3),
+    ).permute(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=2e-5)
+
+
+def test_flash_attention_matches_xla():
+    """Pallas kernel (interpret mode on CPU) vs plain XLA attention."""
+    from genpercept_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(5)
+    b, s, h, d = 1, 256, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+
+    import unittest.mock as mock
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = fa.flash_attention(q, k, v)
+    out_ref = dot_product_attention(q, k, v, use_flash=False)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_ref), atol=2e-3
+    )
+
+
+def test_timestep_embedding_matches_diffusers_formula():
+    """Check against a direct numpy transcription of the SD2.1 convention
+    (flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    t = np.array([0, 1, 500, 999], dtype=np.float32)
+    dim = 320
+    half = dim // 2
+    freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
+    args = t[:, None] * freqs[None, :]
+    expected = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+
+    ours = timestep_embedding(jnp.asarray(t), dim)
+    # fp32 trig at arg ~1000 carries ~1e-4 absolute error vs float64
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=3e-4)
+
+
+@pytest.mark.parametrize("method", ["bilinear", "bicubic"])
+def test_resize_downsample_antialias_matches_torch(method):
+    rng = np.random.default_rng(6)
+    x = rng.uniform(size=(1, 37, 53, 3)).astype(np.float32)
+    ours = resize(jnp.asarray(x), (16, 24), method=method, antialias=True)
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        size=(16, 24), mode=method, antialias=True,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), atol=2e-2, rtol=1e-2
+    )
+
+
+def test_resize_nearest_exact_matches_torch():
+    rng = np.random.default_rng(7)
+    x = rng.uniform(size=(1, 33, 17, 2)).astype(np.float32)
+    ours = resize(jnp.asarray(x), (10, 40), method="nearest_exact")
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(10, 40),
+        mode="nearest-exact",
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=0)
+
+
+def test_resize_upsample_bilinear_matches_torch():
+    rng = np.random.default_rng(8)
+    x = rng.uniform(size=(1, 8, 8, 4)).astype(np.float32)
+    ours = resize(jnp.asarray(x), (16, 16), method="bilinear", antialias=False)
+    theirs = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(16, 16),
+        mode="bilinear", align_corners=False,
+    ).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+
+
+def test_colorize_matches_matplotlib_spectral():
+    import matplotlib
+
+    cmap = matplotlib.colormaps["Spectral"]
+    vals = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+    ours = colorize_depth(jnp.asarray(vals))
+    theirs = cmap(vals)[..., :3]
+    # matplotlib does nearest-entry lookup into its 256-LUT; we lerp between
+    # entries — bounded by ~half a LUT step (~2 LSB of an 8-bit PNG).
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1.2e-2)
