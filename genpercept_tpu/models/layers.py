@@ -1,0 +1,257 @@
+"""Shared building blocks for the SD2.1 model zoo (pure functions, NHWC).
+
+Parameter pytrees are nested dicts whose key structure mirrors the diffusers
+checkpoint naming (resnets / attentions / norm1 / conv1 / to_q ...), so the
+safetensors importer is a pure layout transform (OIHW->HWIO, linear
+transpose) with no renaming table.
+
+Conventions:
+  conv weight: HWIO;  linear weight: (in, out);  norm scale/bias: (C,)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from genpercept_tpu.ops import conv2d, group_norm, layer_norm
+from genpercept_tpu.ops.attention import attention_projection, dot_product_attention
+from genpercept_tpu.ops.conv import conv1x1
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------- init utils
+
+def dense_init(key, din: int, dout: int, bias: bool = True) -> Params:
+    k1, _ = jax.random.split(key)
+    bound = 1.0 / math.sqrt(din)
+    p = {"weight": jax.random.uniform(k1, (din, dout), jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jnp.zeros((dout,), jnp.float32)
+    return p
+
+
+def conv_init(key, kh: int, kw: int, cin: int, cout: int, bias: bool = True) -> Params:
+    k1, _ = jax.random.split(key)
+    bound = 1.0 / math.sqrt(cin * kh * kw)
+    p = {"weight": jax.random.uniform(k1, (kh, kw, cin, cout), jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def norm_init(c: int) -> Params:
+    return {"weight": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def dense(p: Params, x: jax.Array) -> jax.Array:
+    return attention_projection(x, p["weight"], p.get("bias"))
+
+
+def conv(p: Params, x: jax.Array, stride: int = 1, padding: int = 1) -> jax.Array:
+    return conv2d(x, p["weight"], p.get("bias"), stride=stride, padding=padding)
+
+
+# ------------------------------------------------------------- resnet block
+
+def init_resnet_block(key, cin: int, cout: int, temb_dim: int | None) -> Params:
+    ks = jax.random.split(key, 4)
+    p: Params = {
+        "norm1": norm_init(cin),
+        "conv1": conv_init(ks[0], 3, 3, cin, cout),
+        "norm2": norm_init(cout),
+        "conv2": conv_init(ks[1], 3, 3, cout, cout),
+    }
+    if temb_dim is not None:
+        p["time_emb_proj"] = dense_init(ks[2], temb_dim, cout)
+    if cin != cout:
+        p["conv_shortcut"] = conv_init(ks[3], 1, 1, cin, cout)
+    return p
+
+
+def resnet_block(
+    p: Params, x: jax.Array, temb: jax.Array | None = None, eps: float = 1e-5
+) -> jax.Array:
+    """diffusers ResnetBlock2D: GN -> SiLU -> conv -> (+temb) -> GN -> SiLU
+    -> conv -> +shortcut."""
+    h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], 32, eps)
+    h = jax.nn.silu(h)
+    h = conv(p["conv1"], h)
+    if temb is not None and "time_emb_proj" in p:
+        t = dense(p["time_emb_proj"], jax.nn.silu(temb))
+        h = h + t[:, None, None, :].astype(h.dtype)
+    h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], 32, eps)
+    h = jax.nn.silu(h)
+    h = conv(p["conv2"], h)
+    if "conv_shortcut" in p:
+        x = conv1x1(x, p["conv_shortcut"]["weight"][0, 0], p["conv_shortcut"].get("bias"))
+    return x + h
+
+
+# ---------------------------------------------------------- up/down sampling
+
+def init_downsample(key, c: int) -> Params:
+    return {"conv": conv_init(key, 3, 3, c, c)}
+
+
+def downsample2d(p: Params, x: jax.Array, asymmetric_pad: bool = False) -> jax.Array:
+    """Stride-2 conv. The VAE encoder pads (0,1,0,1) asymmetrically with
+    padding=0; the UNet uses symmetric padding=1."""
+    if asymmetric_pad:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return conv(p["conv"], x, stride=2, padding=0)
+    return conv(p["conv"], x, stride=2, padding=1)
+
+
+def init_upsample(key, c: int, cout: int | None = None) -> Params:
+    return {"conv": conv_init(key, 3, 3, c, cout or c)}
+
+
+def upsample2d(p: Params, x: jax.Array, out_hw: tuple | None = None) -> jax.Array:
+    """Nearest upsample (x2 or to explicit size) then 3x3 conv — diffusers
+    Upsample2D(use_conv=True). The explicit size path mirrors diffusers'
+    `forward_upsample_size` handling for latents not divisible by 8."""
+    n, h, w, c = x.shape
+    if out_hw is None or out_hw == (2 * h, 2 * w):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    else:
+        oh, ow = out_hw
+        # torch F.interpolate mode='nearest': src = floor(i * in / out)
+        ys = jnp.minimum((jnp.arange(oh) * h // oh).astype(jnp.int32), h - 1)
+        xs = jnp.minimum((jnp.arange(ow) * w // ow).astype(jnp.int32), w - 1)
+        x = x[:, ys][:, :, xs]
+    return conv(p["conv"], x)
+
+
+# ------------------------------------------------- VAE single-head attention
+
+def init_vae_attention(key, c: int) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "group_norm": norm_init(c),
+        "to_q": dense_init(ks[0], c, c),
+        "to_k": dense_init(ks[1], c, c),
+        "to_v": dense_init(ks[2], c, c),
+        "to_out": {"0": dense_init(ks[3], c, c)},
+    }
+
+
+def vae_attention(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Single-head full self-attention over spatial tokens (VAE mid block)."""
+    n, h, w, c = x.shape
+    res = x
+    y = group_norm(x, p["group_norm"]["weight"], p["group_norm"]["bias"], 32, eps)
+    y = y.reshape(n, h * w, c)
+    q = dense(p["to_q"], y)[:, :, None, :]
+    k = dense(p["to_k"], y)[:, :, None, :]
+    v = dense(p["to_v"], y)[:, :, None, :]
+    o = dot_product_attention(q, k, v)[:, :, 0, :]
+    o = dense(p["to_out"]["0"], o)
+    return res + o.reshape(n, h, w, c)
+
+
+# -------------------------------------------- transformer (UNet attn blocks)
+
+def init_cross_attention(key, c: int, heads: int, context_dim: int | None) -> Params:
+    ks = jax.random.split(key, 4)
+    kv_in = context_dim if context_dim is not None else c
+    return {
+        "to_q": dense_init(ks[0], c, c, bias=False),
+        "to_k": dense_init(ks[1], kv_in, c, bias=False),
+        "to_v": dense_init(ks[2], kv_in, c, bias=False),
+        "to_out": {"0": dense_init(ks[3], c, c)},
+    }
+
+
+def cross_attention(
+    p: Params, x: jax.Array, context: jax.Array | None, heads: int
+) -> jax.Array:
+    """x: (B, S, C); context: (B, Sk, Ck) or None for self-attention."""
+    b, s, c = x.shape
+    ctx = x if context is None else context
+    d = c // heads
+    q = dense(p["to_q"], x).reshape(b, s, heads, d)
+    k = dense(p["to_k"], ctx).reshape(b, ctx.shape[1], heads, d)
+    v = dense(p["to_v"], ctx).reshape(b, ctx.shape[1], heads, d)
+    o = dot_product_attention(q, k, v).reshape(b, s, c)
+    return dense(p["to_out"]["0"], o)
+
+
+def init_feed_forward(key, c: int, mult: int = 4) -> Params:
+    k1, k2 = jax.random.split(key)
+    inner = c * mult
+    return {
+        "net": {
+            "0": {"proj": dense_init(k1, c, inner * 2)},  # GEGLU
+            "2": dense_init(k2, inner, c),
+        }
+    }
+
+
+def feed_forward(p: Params, x: jax.Array) -> jax.Array:
+    """GEGLU feed-forward: proj -> split -> x * gelu(gate) -> linear."""
+    h = dense(p["net"]["0"]["proj"], x)
+    hidden, gate = jnp.split(h, 2, axis=-1)
+    h = hidden * jax.nn.gelu(gate, approximate=False)
+    return dense(p["net"]["2"], h)
+
+
+def init_transformer_block(key, c: int, heads: int, context_dim: int) -> Params:
+    ks = jax.random.split(key, 3)
+    return {
+        "norm1": norm_init(c),
+        "attn1": init_cross_attention(ks[0], c, heads, None),
+        "norm2": norm_init(c),
+        "attn2": init_cross_attention(ks[1], c, heads, context_dim),
+        "norm3": norm_init(c),
+        "ff": init_feed_forward(ks[2], c),
+    }
+
+
+def transformer_block(
+    p: Params, x: jax.Array, context: jax.Array, heads: int
+) -> jax.Array:
+    """BasicTransformerBlock: self-attn, cross-attn, GEGLU FF (pre-LN)."""
+    h = layer_norm(x, p["norm1"]["weight"], p["norm1"]["bias"])
+    x = x + cross_attention(p["attn1"], h, None, heads)
+    h = layer_norm(x, p["norm2"]["weight"], p["norm2"]["bias"])
+    x = x + cross_attention(p["attn2"], h, context, heads)
+    h = layer_norm(x, p["norm3"]["weight"], p["norm3"]["bias"])
+    x = x + feed_forward(p["ff"], h)
+    return x
+
+
+def init_spatial_transformer(
+    key, c: int, heads: int, context_dim: int, depth: int = 1
+) -> Params:
+    ks = jax.random.split(key, depth + 2)
+    return {
+        "norm": norm_init(c),
+        "proj_in": dense_init(ks[0], c, c),
+        "transformer_blocks": {
+            str(i): init_transformer_block(ks[1 + i], c, heads, context_dim)
+            for i in range(depth)
+        },
+        "proj_out": dense_init(ks[depth + 1], c, c),
+    }
+
+
+def spatial_transformer(
+    p: Params, x: jax.Array, context: jax.Array, heads: int
+) -> jax.Array:
+    """diffusers Transformer2DModel with use_linear_projection=True (SD2.1):
+    GN(eps 1e-6) -> flatten -> linear proj_in -> blocks -> linear proj_out
+    -> unflatten -> +residual."""
+    n, h, w, c = x.shape
+    res = x
+    y = group_norm(x, p["norm"]["weight"], p["norm"]["bias"], 32, 1e-6)
+    y = y.reshape(n, h * w, c)
+    y = dense(p["proj_in"], y)
+    for i in range(len(p["transformer_blocks"])):
+        y = transformer_block(p["transformer_blocks"][str(i)], y, context, heads)
+    y = dense(p["proj_out"], y)
+    return res + y.reshape(n, h, w, c)

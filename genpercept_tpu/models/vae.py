@@ -1,0 +1,181 @@
+"""SD2.1 AutoencoderKL (VAE) as pure functions, NHWC.
+
+Mirrors the diffusers AutoencoderKL the reference loads from the SD2.1
+checkpoint. The GenPercept pipeline uses:
+  encode: encoder -> quant_conv -> take mean (first 4 ch) -> * 0.18215
+          (reference genpercept_pipeline.py:488-505)
+  decode: / 0.18215 -> post_quant_conv -> decoder
+          (reference genpercept_pipeline.py:507-526)
+
+Param tree key structure mirrors the diffusers safetensors layout
+(encoder.down_blocks.N.resnets.M..., decoder.up_blocks..., quant_conv,
+post_quant_conv) so the importer is a pure layout transform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from genpercept_tpu.models.layers import (
+    Params,
+    conv,
+    conv_init,
+    downsample2d,
+    init_downsample,
+    init_resnet_block,
+    init_upsample,
+    init_vae_attention,
+    norm_init,
+    resnet_block,
+    upsample2d,
+    vae_attention,
+)
+from genpercept_tpu.ops import group_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+SD21_VAE = VAEConfig()
+
+
+# ------------------------------------------------------------------- init
+
+def init_vae(key, cfg: VAEConfig = SD21_VAE) -> Params:
+    ke, kd, kq, kpq = jax.random.split(key, 4)
+    return {
+        "encoder": _init_encoder(ke, cfg),
+        "decoder": _init_decoder(kd, cfg),
+        "quant_conv": conv_init(kq, 1, 1, 2 * cfg.latent_channels, 2 * cfg.latent_channels),
+        "post_quant_conv": conv_init(kpq, 1, 1, cfg.latent_channels, cfg.latent_channels),
+    }
+
+
+def _init_encoder(key, cfg: VAEConfig) -> Params:
+    chans = cfg.block_out_channels
+    n_blocks = len(chans)
+    keys = iter(jax.random.split(key, 4 + n_blocks * (cfg.layers_per_block + 1)))
+    p: Params = {"conv_in": conv_init(next(keys), 3, 3, cfg.in_channels, chans[0])}
+    down = {}
+    cin = chans[0]
+    for i, cout in enumerate(chans):
+        blk: Params = {"resnets": {}}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"][str(j)] = init_resnet_block(next(keys), cin, cout, None)
+            cin = cout
+        if i < n_blocks - 1:
+            blk["downsamplers"] = {"0": init_downsample(next(keys), cout)}
+        down[str(i)] = blk
+    p["down_blocks"] = down
+    c = chans[-1]
+    p["mid_block"] = {
+        "resnets": {
+            "0": init_resnet_block(next(keys), c, c, None),
+            "1": init_resnet_block(next(keys), c, c, None),
+        },
+        "attentions": {"0": init_vae_attention(next(keys), c)},
+    }
+    p["conv_norm_out"] = norm_init(c)
+    p["conv_out"] = conv_init(next(keys), 3, 3, c, 2 * cfg.latent_channels)
+    return p
+
+
+def _init_decoder(key, cfg: VAEConfig) -> Params:
+    chans = tuple(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
+    n_blocks = len(chans)
+    keys = iter(jax.random.split(key, 5 + n_blocks * (cfg.layers_per_block + 2)))
+    p: Params = {"conv_in": conv_init(next(keys), 3, 3, cfg.latent_channels, chans[0])}
+    c = chans[0]
+    p["mid_block"] = {
+        "resnets": {
+            "0": init_resnet_block(next(keys), c, c, None),
+            "1": init_resnet_block(next(keys), c, c, None),
+        },
+        "attentions": {"0": init_vae_attention(next(keys), c)},
+    }
+    up = {}
+    cin = chans[0]
+    for i, cout in enumerate(chans):
+        blk: Params = {"resnets": {}}
+        for j in range(cfg.layers_per_block + 1):  # decoder: 3 resnets/block
+            blk["resnets"][str(j)] = init_resnet_block(next(keys), cin, cout, None)
+            cin = cout
+        if i < n_blocks - 1:
+            blk["upsamplers"] = {"0": init_upsample(next(keys), cout)}
+        up[str(i)] = blk
+    p["up_blocks"] = up
+    p["conv_norm_out"] = norm_init(chans[-1])
+    p["conv_out"] = conv_init(next(keys), 3, 3, chans[-1], cfg.out_channels)
+    return p
+
+
+# ------------------------------------------------------------------ apply
+
+def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE) -> jax.Array:
+    """x: (N, H, W, 3) in [-1, 1] -> moments (N, H/8, W/8, 8)."""
+    enc = p["encoder"]
+    h = conv(enc["conv_in"], x)
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        blk = enc["down_blocks"][str(i)]
+        for j in range(cfg.layers_per_block):
+            h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6)
+        if "downsamplers" in blk:
+            h = downsample2d(blk["downsamplers"]["0"], h, asymmetric_pad=True)
+    mid = enc["mid_block"]
+    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6)
+    h = vae_attention(mid["attentions"]["0"], h)
+    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6)
+    h = group_norm(h, enc["conv_norm_out"]["weight"], enc["conv_norm_out"]["bias"],
+                   cfg.norm_num_groups, 1e-6)
+    h = jax.nn.silu(h)
+    h = conv(enc["conv_out"], h)
+    # quant_conv maps moments -> moments (1x1 conv over 8 channels)
+    from genpercept_tpu.ops.conv import conv1x1
+    return conv1x1(h, p["quant_conv"]["weight"][0, 0], p["quant_conv"].get("bias"))
+
+
+def vae_encode(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE) -> jax.Array:
+    """Deterministic latent: mean channel of the posterior, scaled.
+    Matches reference `encode_rgb` (genpercept_pipeline.py:488-505)."""
+    moments = vae_encoder_apply(p, x, cfg)
+    mean = moments[..., : cfg.latent_channels]
+    return mean * cfg.scaling_factor
+
+
+def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE) -> jax.Array:
+    """z: (N, h, w, 4) scaled latent -> (N, 8h, 8w, 3).
+    Matches reference `decode_pred` up to the task-specific channel mean."""
+    from genpercept_tpu.ops.conv import conv1x1
+
+    z = z / cfg.scaling_factor
+    z = conv1x1(z, p["post_quant_conv"]["weight"][0, 0], p["post_quant_conv"].get("bias"))
+    dec = p["decoder"]
+    h = conv(dec["conv_in"], z)
+    mid = dec["mid_block"]
+    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6)
+    h = vae_attention(mid["attentions"]["0"], h)
+    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6)
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        blk = dec["up_blocks"][str(i)]
+        for j in range(cfg.layers_per_block + 1):
+            h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6)
+        if "upsamplers" in blk:
+            h = upsample2d(blk["upsamplers"]["0"], h)
+    h = group_norm(h, dec["conv_norm_out"]["weight"], dec["conv_norm_out"]["bias"],
+                   cfg.norm_num_groups, 1e-6)
+    h = jax.nn.silu(h)
+    return conv(dec["conv_out"], h)

@@ -57,6 +57,37 @@ def resize_bilinear_antialias(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Arra
     return resize(x, out_hw, method="bilinear", antialias=True)
 
 
+def _lerp_weights_align_corners(n_in: int, n_out: int):
+    if n_out == 1 or n_in == 1:
+        idx = jnp.zeros((n_out,), jnp.int32)
+        return idx, idx, jnp.zeros((n_out,), jnp.float32)
+    src = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+    hi = jnp.minimum(lo + 1, n_in - 1)
+    return lo, hi, src - lo
+
+
+def resize_bilinear_align_corners(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize with align_corners=True (torch semantics): corner
+    pixels map exactly; src = i * (in-1)/(out-1). Needed by the DPT fusion
+    stage and head, which use nn.Upsample(align_corners=True)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    ylo, yhi, yf = _lerp_weights_align_corners(h, oh)
+    xlo, xhi, xf_w = _lerp_weights_align_corners(w, ow)
+    top = xf[:, ylo]
+    bot = xf[:, yhi]
+    rows = top + (bot - top) * yf[None, :, None, None]
+    left = rows[:, :, xlo]
+    right = rows[:, :, xhi]
+    out = left + (right - left) * xf_w[None, None, :, None]
+    return out.astype(dtype)
+
+
 def max_res_shape(h: int, w: int, max_edge: int) -> Tuple[int, int]:
     """Long-side resize target, aspect preserving, floor like torchvision
     (reference image_util.py:95-100: scale = max_edge/max(h,w), int())."""

@@ -1,0 +1,8 @@
+from genpercept_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicate,
+    shard_params_tp,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicate", "shard_params_tp"]

@@ -1,0 +1,267 @@
+"""The GenPercept inference pipeline, TPU-first.
+
+Functional equivalent of the reference `GenPerceptPipeline.__call__`
+(`genpercept/genpercept_pipeline.py:146-337`), redesigned so that the whole
+hot path — normalize, VAE encode, UNet, decode (VAE or DPT head), task
+postprocess — is ONE jitted XLA program over static shapes, batched and
+shardable over a device mesh. Host code only decodes/encodes image files and
+picks static shapes.
+
+Inference math (genpercept arch):
+    z_rgb = 0.18215 * mean(vae.encode(2*rgb - 1))
+    v     = unet(z_rgb, t=1, empty_text_embed)
+    z_pred = -v                                 # beta==1 scheduler algebra
+    pred  = vae.decode(z_pred) -> clip [-1,1] -> (x+1)/2  [channel-mean for
+            depth/matting/dis/disparity]
+or, with a DPT head:
+    feats = unet(z_rgb, ..., return_features)[::-1]
+    pred  = minmax(dpt_head(feats))
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpercept_tpu.diffusion import (
+    GENPERCEPT_SCHEDULER,
+    SchedulerConfig,
+    ddim_step,
+    leading_timesteps,
+    make_scheduler,
+)
+from genpercept_tpu.models import (
+    CLIPTextConfig,
+    DPTHeadConfig,
+    UNetConfig,
+    VAEConfig,
+    clip_text_apply,
+    dpt_head_apply,
+    unet_apply,
+    vae_decode,
+    vae_encode,
+)
+from genpercept_tpu.models.clip_text import SD21_CLIP_TEXT, empty_prompt_ids
+from genpercept_tpu.ops.colorize import colorize_depth
+from genpercept_tpu.ops.resize import max_res_shape, resize
+from genpercept_tpu.pipeline.tasks import TASKS, TaskSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    mode: str = "depth"
+    arch: str = "genpercept"  # genpercept | rgb_blending | marigold
+    processing_res: int = 768  # 0 = keep input resolution
+    match_input_res: bool = True
+    denoising_steps: int = 1
+    ensemble_size: int = 1
+    fix_timesteps: Optional[int] = None
+    resample_method: str = "bilinear"
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.arch == "genpercept":
+            # reference enforces steps==1, ensemble==1 (run.py:209-211)
+            assert self.denoising_steps == 1 and self.ensemble_size == 1
+
+    @property
+    def task(self) -> TaskSpec:
+        return TASKS[self.mode]
+
+    @property
+    def scheduler(self) -> SchedulerConfig:
+        if self.arch == "genpercept":
+            return GENPERCEPT_SCHEDULER
+        return SchedulerConfig()  # SD2.1 default betas for marigold arch
+
+
+@dataclasses.dataclass
+class GenPerceptModels:
+    """Parameter pytrees + static configs for one checkpoint."""
+
+    unet: Dict[str, Any]
+    vae: Dict[str, Any]
+    unet_cfg: UNetConfig = UNetConfig()
+    vae_cfg: VAEConfig = VAEConfig()
+    text_embed: Optional[jax.Array] = None  # precomputed (1, 77, 1024)
+    clip: Optional[Dict[str, Any]] = None
+    clip_cfg: CLIPTextConfig = SD21_CLIP_TEXT
+    dpt_head: Optional[Dict[str, Any]] = None
+    dpt_cfg: DPTHeadConfig = DPTHeadConfig()
+
+    def get_text_embed(self) -> jax.Array:
+        """Empty-prompt CLIP embedding, cached (reference
+        genpercept_pipeline.py:360-372)."""
+        if self.text_embed is None:
+            assert self.clip is not None, "need CLIP params or a precomputed embed"
+            self.text_embed = clip_text_apply(
+                self.clip, empty_prompt_ids(self.clip_cfg), self.clip_cfg
+            )
+        return self.text_embed
+
+    def params(self) -> Dict[str, Any]:
+        p = {"unet": self.unet, "vae": self.vae, "text_embed": self.get_text_embed()}
+        if self.dpt_head is not None:
+            p["dpt_head"] = self.dpt_head
+        return p
+
+
+def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
+    """Returns a jittable fn(params, rgb_01, noise=None) -> prediction.
+
+    rgb_01: (B, H, W, 3) float in [0, 1] at processing resolution
+    (H, W multiples of 8). Returns (B, H, W) or (B, H, W, 3) in [0, 1].
+    Equivalent to reference `single_infer` (genpercept_pipeline.py:374-486).
+    """
+    task = cfg.task
+    unet_cfg, vae_cfg, dpt_cfg = models.unet_cfg, models.vae_cfg, models.dpt_cfg
+    sched_cfg = cfg.scheduler
+    sched = make_scheduler(sched_cfg)
+    if cfg.fix_timesteps:
+        ts = np.full((cfg.denoising_steps,), cfg.fix_timesteps, np.int64)
+    else:
+        ts = leading_timesteps(sched_cfg, cfg.denoising_steps)
+    use_head = models.dpt_head is not None
+    compute_dtype = cfg.dtype
+
+    def single_infer(params, rgb, noise: Optional[jax.Array] = None):
+        rgb_norm = (rgb.astype(compute_dtype) * 2.0 - 1.0)
+        rgb_latent = vae_encode(params["vae"], rgb_norm, vae_cfg)
+        text = jnp.broadcast_to(
+            params["text_embed"].astype(compute_dtype),
+            (rgb.shape[0],) + params["text_embed"].shape[-2:],
+        )
+
+        if use_head:
+            t = jnp.asarray(ts[0], jnp.int32)
+            _, feats = unet_apply(
+                params["unet"], rgb_latent, t, text, unet_cfg, return_features=True
+            )
+            pred = dpt_head_apply(params["dpt_head"], feats[::-1], dpt_cfg)
+            # per-image min-max (reference :481 normalizes over the batch
+            # tensor; batches there are per-image)
+            lo = jnp.min(pred, axis=(1, 2), keepdims=True)
+            hi = jnp.max(pred, axis=(1, 2), keepdims=True)
+            return ((pred - lo) / jnp.maximum(hi - lo, 1e-6)).astype(jnp.float32)
+
+        if cfg.arch in ("genpercept", "rgb_blending"):
+            pred_latent = rgb_latent
+        else:  # marigold: stochastic init
+            assert noise is not None, "marigold arch needs initial noise"
+            pred_latent = noise.astype(compute_dtype)
+
+        if cfg.arch == "genpercept":
+            t = jnp.asarray(ts[0], jnp.int32)
+            v = unet_apply(params["unet"], pred_latent, t, text, unet_cfg)
+            pred_latent = -v  # beta==1: pred_original_sample == -noise_pred
+        else:
+            eight_ch = cfg.arch == "marigold"
+            for t_host in ts:
+                t = jnp.asarray(t_host, jnp.int32)
+                unet_in = (
+                    jnp.concatenate([rgb_latent, pred_latent], axis=-1)
+                    if eight_ch
+                    else pred_latent
+                )
+                v = unet_apply(params["unet"], unet_in, t, text, unet_cfg)
+                pred_latent, pred_x0 = ddim_step(
+                    sched_cfg, sched, v, jnp.broadcast_to(t, (rgb.shape[0],)),
+                    pred_latent, cfg.denoising_steps,
+                )
+            pred_latent = pred_x0
+
+        decoded = vae_decode(params["vae"], pred_latent, vae_cfg)
+        if task.channel_mean:
+            decoded = jnp.mean(decoded, axis=-1)
+        pred = jnp.clip(decoded, -1.0, 1.0)
+        return ((pred + 1.0) / 2.0).astype(jnp.float32)
+
+    return single_infer
+
+
+@dataclasses.dataclass
+class GenPerceptOutput:
+    pred_np: np.ndarray  # (H, W) or (H, W, 3) float in [0, 1]
+    pred_colored: Optional[np.ndarray]  # (H, W, 3) uint8 or None
+
+
+class GenPerceptPipeline:
+    """Host-side orchestration: file-shaped inputs in, predictions out.
+
+    Thin wrapper over the jitted `single_infer`; handles resize to
+    processing resolution, ensembling, resize back, and colorization
+    (all resize/colorize also run on device).
+    """
+
+    def __init__(self, models: GenPerceptModels, cfg: PipelineConfig):
+        self.models = models
+        self.cfg = cfg
+        self._params = models.params()
+        self._infer = jax.jit(build_single_infer(models, cfg))
+
+    def __call__(
+        self,
+        image: np.ndarray,
+        rng: Optional[jax.Array] = None,
+        color_map: Optional[str] = "auto",
+    ) -> GenPerceptOutput:
+        """image: (H, W, 3) uint8 or float [0,1]."""
+        cfg = self.cfg
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        h, w = image.shape[:2]
+        x = jnp.asarray(image)[None]
+
+        if cfg.processing_res > 0:
+            ph, pw = max_res_shape(h, w, cfg.processing_res)
+        else:
+            ph, pw = h, w
+        x = resize(x, (ph, pw), cfg.resample_method, antialias=True)
+
+        # latent dims: three stride-2 convs, each a floor-halving
+        lh, lw = ph, pw
+        for _ in range(3):
+            lh, lw = lh // 2, lw // 2
+
+        e = cfg.ensemble_size
+        if e > 1:
+            x = jnp.broadcast_to(x, (e, ph, pw, 3))
+            if rng is None:
+                rng = jax.random.key(0)
+            noise = jax.random.normal(rng, (e, lh, lw, 4))
+            preds = self._infer(self._params, x, noise)
+            from genpercept_tpu.pipeline.ensemble import ensemble_predictions
+
+            pred = ensemble_predictions(preds)[None]
+        else:
+            noise = (
+                jax.random.normal(
+                    rng if rng is not None else jax.random.key(0), (1, lh, lw, 4)
+                )
+                if cfg.arch == "marigold"
+                else None
+            )
+            pred = self._infer(self._params, x, noise)
+
+        if cfg.match_input_res and pred.shape[1:3] != (h, w):
+            if pred.ndim == 3:
+                pred = resize(pred[..., None], (h, w), cfg.resample_method)[..., 0]
+            else:
+                pred = resize(pred, (h, w), cfg.resample_method)
+
+        pred = jnp.clip(pred, 0.0, 1.0)
+
+        colored = None
+        if color_map == "auto":
+            color_map = cfg.task.color_map
+        if color_map is not None and pred.ndim == 3:
+            colored_dev = colorize_depth(pred[0])
+            colored = np.asarray((colored_dev * 255).astype(jnp.uint8))
+
+        pred_np = np.asarray(pred[0])
+        return GenPerceptOutput(pred_np=pred_np, pred_colored=colored)

@@ -1,0 +1,287 @@
+"""The GenPercept training step as one jitted, sharded XLA program.
+
+Functional rebuild of `GenPerceptTrainer.train()`'s inner loop
+(`src/trainer/genpercept_trainer.py:560-834`):
+
+  1. valid-mask downscale to the latent grid (max-pool 8 of the invalid mask)
+  2. frozen VAE encodes rgb and gt (stop_gradient)
+  3. t ~ U[0, 1000) or fixed; noise = rgb_latent (genpercept mode)
+  4. noisy = add_noise(gt_latent, noise, t) (== noise at beta==1)
+     target = velocity (== -gt_latent at beta==1)
+  5. UNet forward; loss = masked latent loss and/or pixel losses on the
+     decoded prediction (mse x1 + ssi x0.5 + grad x2 on depth shifted +2),
+     or DPT-head losses on multi-level features
+  6. grads -> optax update.  Gradient accumulation is a lax.scan over
+     micro-batches with fp32 accumulators (replacing Accelerate's
+     `accumulate`); data parallelism is a sharding annotation, the gradient
+     all-reduce is compiled by XLA (replacing DDP/NCCL).
+
+Trainability masks (train unet / head / vae-decoder; `genpercept_trainer.py:
+176-244`) are optax.masked partitions over the param pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from genpercept_tpu.diffusion import (
+    GENPERCEPT_SCHEDULER,
+    SchedulerConfig,
+    add_noise,
+    get_velocity,
+    make_scheduler,
+)
+from genpercept_tpu.models import (
+    DPTHeadConfig,
+    UNetConfig,
+    VAEConfig,
+    dpt_head_apply,
+    unet_apply,
+    vae_decode,
+    vae_encode,
+)
+from genpercept_tpu.train import losses as L
+from genpercept_tpu.train.lr import iter_exponential_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    mode: str = "depth"
+    arch: str = "genpercept"  # genpercept | rgb_blending | marigold
+    # losses: subset of {latent_mse, mse, ssi, ssi_medium, grad, angular, l1}
+    loss_names: Tuple[str, ...] = ("mse", "ssi", "grad")
+    fix_timesteps: Optional[int] = None
+    num_train_timesteps: int = 1000
+    lr: float = 3e-5
+    lr_total_iter_length: int = 25000
+    lr_final_ratio: float = 0.01
+    lr_warmup_steps: int = 100
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    grad_accum_steps: int = 1
+    train_unet: bool = True
+    train_dpt_head: bool = True
+    train_vae_decoder: bool = False
+    compute_dtype: Any = jnp.float32  # bf16 for production
+
+    scheduler: SchedulerConfig = GENPERCEPT_SCHEDULER
+
+
+def downscale_valid_mask(valid_mask: jax.Array, factor: int = 8) -> jax.Array:
+    """(B, H, W) bool -> (B, H/f, W/f) bool: a latent cell is valid iff all
+    its pixels are (max-pool of the invalid mask, genpercept_trainer.py:608-615)."""
+    b, h, w = valid_mask.shape
+    invalid = (~valid_mask).astype(jnp.float32)
+    pooled = jax.lax.reduce_window(
+        invalid, -jnp.inf, jax.lax.max, (1, factor, factor), (1, factor, factor), "VALID"
+    )
+    return pooled < 0.5
+
+
+def build_loss_fn(cfg: TrainConfig, models):
+    """models: GenPerceptModels (pipeline module). Returns
+    loss_fn(trainable, frozen, batch, rng) -> (loss, aux)."""
+    unet_cfg: UNetConfig = models.unet_cfg
+    vae_cfg: VAEConfig = models.vae_cfg
+    dpt_cfg: DPTHeadConfig = models.dpt_cfg
+    sched = make_scheduler(cfg.scheduler)
+    use_head = models.dpt_head is not None
+
+    def loss_fn(trainable: Dict, frozen: Dict, batch: Dict, rng) -> Tuple[jax.Array, Dict]:
+        params = {**frozen, **trainable}
+        rgb = batch["rgb_norm"].astype(cfg.compute_dtype)  # (B,H,W,3) in [-1,1]
+        gt = batch["gt_norm"].astype(cfg.compute_dtype)    # (B,H,W,3) in [-1,1]
+        valid = batch["valid_mask"]                        # (B,H,W) bool
+        bsz = rgb.shape[0]
+
+        rgb_latent = jax.lax.stop_gradient(vae_encode(params["vae"], rgb, vae_cfg))
+        gt_latent = jax.lax.stop_gradient(vae_encode(params["vae"], gt, vae_cfg))
+
+        if cfg.fix_timesteps is not None:
+            t = jnp.full((bsz,), cfg.fix_timesteps, jnp.int32)
+        else:
+            rng, tkey = jax.random.split(rng)
+            t = jax.random.randint(tkey, (bsz,), 0, cfg.num_train_timesteps)
+
+        if cfg.arch in ("genpercept", "rgb_blending"):
+            noise = rgb_latent
+        else:
+            rng, nkey = jax.random.split(rng)
+            noise = jax.random.normal(nkey, gt_latent.shape, cfg.compute_dtype)
+
+        noisy = add_noise(sched, gt_latent, noise, t)
+        target = get_velocity(sched, gt_latent, noise, t)
+        unet_in = (
+            jnp.concatenate([rgb_latent, noisy], axis=-1)
+            if cfg.arch == "marigold"
+            else noisy
+        )
+
+        text = jnp.broadcast_to(
+            params["text_embed"].astype(cfg.compute_dtype),
+            (bsz,) + params["text_embed"].shape[-2:],
+        )
+
+        aux: Dict[str, jax.Array] = {}
+        total = jnp.float32(0.0)
+
+        mask_latent = downscale_valid_mask(valid)[..., None]  # (B,h,w,1)
+
+        if use_head:
+            _, feats = unet_apply(params["unet"], unet_in, t, text, unet_cfg,
+                                  return_features=True)
+            head_pred = dpt_head_apply(params["dpt_head"], feats[::-1], dpt_cfg)
+            pred_px = head_pred  # (B,H,W)
+        else:
+            v = unet_apply(params["unet"], unet_in, t, text, unet_cfg)
+            if "latent_mse" in cfg.loss_names:
+                l = L.masked_mse(
+                    v.astype(jnp.float32), target.astype(jnp.float32),
+                    jnp.broadcast_to(mask_latent, v.shape),
+                )
+                aux["latent_mse"] = l
+                total += l
+            pixel_losses = [n for n in cfg.loss_names if n != "latent_mse"]
+            if not pixel_losses:
+                return total, aux
+            decoded = vae_decode(params["vae"], -v, vae_cfg)  # grads flow
+            pred_px = jnp.mean(decoded, axis=-1) if cfg.mode == "depth" else decoded
+
+        # pixel-space losses (reference :760-805)
+        if cfg.mode == "depth":
+            pred = pred_px.astype(jnp.float32) + 2.0  # shift [-1,1] -> [1,3]
+            targ = gt[..., 0].astype(jnp.float32) + 2.0
+            m = valid
+            for name in cfg.loss_names:
+                if name == "latent_mse":
+                    continue
+                if name == "mse":
+                    l, w = L.masked_mse(pred, targ, m), 1.0
+                elif name == "ssi":
+                    l, w = L.ssi_loss(pred, targ, m, "least_square"), 0.5
+                elif name == "ssi_medium":
+                    l, w = L.ssi_loss(pred, targ, m, "medium"), 0.5
+                elif name == "grad":
+                    l, w = L.gradient_loss(pred, targ, m), 2.0
+                elif name == "l1":
+                    l, w = L.masked_l1(pred, targ, m), 1.0
+                else:
+                    raise ValueError(name)
+                aux[name] = l
+                total += w * l
+        else:
+            pred = pred_px.astype(jnp.float32)
+            if pred.ndim == 3:
+                pred = jnp.repeat(pred[..., None], 3, axis=-1)
+            targ = gt.astype(jnp.float32)
+            m = valid
+            for name in cfg.loss_names:
+                if name == "latent_mse":
+                    continue
+                if name == "mse":
+                    l, w = L.masked_mse(pred, targ, m[..., None] & jnp.ones_like(pred, bool)), 1.0
+                elif name == "l1":
+                    l, w = L.masked_l1(pred, targ, m[..., None] & jnp.ones_like(pred, bool)), 1.0
+                elif name == "angular":
+                    l, w = L.angular_loss(pred, targ, m), 1.0
+                else:
+                    raise ValueError(name)
+                aux[name] = l
+                total += w * l
+
+        return total, aux
+
+    return loss_fn
+
+
+def split_trainable(params: Dict, cfg: TrainConfig) -> Tuple[Dict, Dict]:
+    """Partition the param tree into (trainable, frozen) per the
+    trainability matrix (genpercept_trainer.py:176-244)."""
+    trainable, frozen = {}, {}
+    for k, v in params.items():
+        train = (
+            (k == "unet" and cfg.train_unet)
+            or (k == "dpt_head" and cfg.train_dpt_head)
+        )
+        if k == "vae" and cfg.train_vae_decoder:
+            tv = {kk: vv for kk, vv in v.items() if kk in ("decoder", "post_quant_conv")}
+            fv = {kk: vv for kk, vv in v.items() if kk not in tv}
+            trainable["vae"] = tv
+            frozen["vae"] = fv
+            continue
+        (trainable if train else frozen)[k] = v
+    return trainable, frozen
+
+
+def merge_vae(trainable: Dict, frozen: Dict) -> Dict:
+    """Re-merge a split vae subtree before apply (loss_fn does {**f, **t},
+    which would drop the frozen vae encoder if vae is in both)."""
+    merged = {**frozen, **trainable}
+    if "vae" in trainable and "vae" in frozen:
+        merged["vae"] = {**frozen["vae"], **trainable["vae"]}
+    return merged
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = iter_exponential_schedule(
+        cfg.lr, cfg.lr_total_iter_length, cfg.lr_final_ratio, cfg.lr_warmup_steps
+    )
+    return optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2)
+
+
+def init_train_state(params: Dict, cfg: TrainConfig):
+    trainable, frozen = split_trainable(params, cfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(trainable)
+    return trainable, frozen, tx, opt_state
+
+
+def build_train_step(cfg: TrainConfig, models, tx: optax.GradientTransformation):
+    """Returns step(trainable, frozen, opt_state, batch, rng) ->
+    (trainable, opt_state, metrics).
+
+    With grad_accum_steps > 1 the batch's leading axis must be
+    (accum, micro_batch, ...) and grads accumulate through a lax.scan.
+    """
+    raw_loss = build_loss_fn(cfg, models)
+
+    def loss_fn(trainable, frozen, batch, rng):
+        return raw_loss(trainable, merge_vae(trainable, frozen), batch, rng)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(trainable, frozen, opt_state, batch, rng):
+        if cfg.grad_accum_steps > 1:
+            def accum(carry, xs):
+                grads_acc, loss_acc = carry
+                micro_batch, micro_rng = xs
+                (loss, _), grads = grad_fn(trainable, frozen, micro_batch, micro_rng)
+                grads_acc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), grads_acc, grads
+                )
+                return (grads_acc, loss_acc + loss), None
+
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), trainable
+            )
+            rngs = jax.random.split(rng, cfg.grad_accum_steps)
+            (grads, loss), _ = jax.lax.scan(
+                accum, (zero, jnp.float32(0.0)), (batch, rngs)
+            )
+            grads = jax.tree.map(lambda g: g / cfg.grad_accum_steps, grads)
+            loss = loss / cfg.grad_accum_steps
+            aux = {}
+        else:
+            (loss, aux), grads = grad_fn(trainable, frozen, batch, rng)
+
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics = {"loss": loss, **aux}
+        return trainable, opt_state, metrics
+
+    return step
