@@ -1,0 +1,133 @@
+"""Mixed-probability batch sampling and host data loading (torch-free).
+
+`MixedBatchSampler` rebuilds `src/dataset/mixed_sampler.py:25-105`: every
+batch is drawn entirely from one source dataset, the source chosen by
+multinomial probabilities (e.g. hypersim 0.9 / vkitti 0.1); exhausted
+sources regenerate their shuffled batch lists.
+
+`DataLoader` is a minimal prefetching iterator that collates dict samples
+into stacked numpy batches for device transfer (replacing torch DataLoader).
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class ConcatDataset:
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def __getitem__(self, idx):
+        src = int(np.searchsorted(self.offsets, idx, side="right") - 1)
+        return self.datasets[src][idx - int(self.offsets[src])]
+
+
+class MixedBatchSampler:
+    """Yields lists of global indices into a ConcatDataset; each batch comes
+    from a single source picked by `prob` (mixed_sampler.py:25-105)."""
+
+    def __init__(
+        self,
+        src_dataset_ls: Sequence,
+        batch_size: int,
+        drop_last: bool = True,
+        shuffle: bool = True,
+        prob: Optional[Sequence[float]] = None,
+        generator: Optional[np.random.Generator] = None,
+    ):
+        assert drop_last, "only drop_last=True is supported (as in training)"
+        self.src_dataset_ls = list(src_dataset_ls)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = generator or np.random.default_rng(0)
+        sizes = [len(d) for d in self.src_dataset_ls]
+        self.offsets = np.cumsum([0] + sizes)[:-1]
+        if prob is None:
+            total = sum(sizes)
+            prob = [s / total for s in sizes]
+        self.prob = np.asarray(prob, np.float64) / np.sum(prob)
+        self.n_batches = sum(s // batch_size for s in sizes)
+
+    def _batches_for(self, src: int) -> List[List[int]]:
+        n = len(self.src_dataset_ls[src])
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = self.rng.permutation(n)
+        idx = idx + self.offsets[src]
+        n_full = n // self.batch_size
+        return [
+            idx[i * self.batch_size : (i + 1) * self.batch_size].tolist()
+            for i in range(n_full)
+        ]
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        pools = [self._batches_for(i) for i in range(len(self.src_dataset_ls))]
+        for _ in range(self.n_batches):
+            src = int(self.rng.choice(len(pools), p=self.prob))
+            if not pools[src]:  # regenerate exhausted source (ref :82-101)
+                pools[src] = self._batches_for(src)
+            yield pools[src].pop()
+
+
+def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, bool, np.integer, np.floating)):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = vals  # strings etc.
+    return out
+
+
+class DataLoader:
+    """Background-thread prefetching loader over (dataset, batch_sampler)."""
+
+    def __init__(self, dataset, batch_sampler, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for batch_idx in self.batch_sampler:
+                    q.put(collate([self.dataset[i] for i in batch_idx]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def skip_first_batches(loader, n: int):
+    """Batch-exact resume (reference src/util/data_loader.py:70-114)."""
+    it = iter(loader)
+    for _ in range(n):
+        next(it, None)
+    return it
