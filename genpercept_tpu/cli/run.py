@@ -1,0 +1,112 @@
+"""Folder-of-images inference CLI (rebuild of reference `run.py`).
+
+    python -m genpercept_tpu.cli.run \
+        --checkpoint /path/to/ckpt --input_rgb_dir imgs/ --output_dir out/ \
+        --mode depth
+
+Saves, per image: <name>_pred.npy, <name>_pred.png (16-bit for depth, 8-bit
+otherwise), <name>_pred_colored.png for depth/disparity (run.py:434-469).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import os.path as osp
+from glob import glob
+
+import numpy as np
+
+EXTENSIONS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="GenPercept-TPU folder inference")
+    p.add_argument("--checkpoint", required=True, help="checkpoint directory")
+    p.add_argument("--input_rgb_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--mode", default="depth",
+                   choices=["depth", "normal", "matting", "dis", "seg",
+                            "disparity", "disparity_dpt_head"])
+    p.add_argument("--archs", default="genpercept",
+                   choices=["genpercept", "rgb_blending", "marigold"])
+    p.add_argument("--denoise_steps", type=int, default=1)
+    p.add_argument("--ensemble_size", type=int, default=1)
+    p.add_argument("--processing_res", type=int, default=768)
+    p.add_argument("--output_processing_res", action="store_true",
+                   help="do not resize back to input resolution")
+    p.add_argument("--resample_method", default="bilinear",
+                   choices=["bilinear", "bicubic", "nearest_exact"])
+    p.add_argument("--half_precision", "--bf16", action="store_true",
+                   help="bfloat16 compute (TPU-native half precision)")
+    p.add_argument("--fix_timesteps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from genpercept_tpu.io.checkpoints import load_genpercept_checkpoint
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    if args.archs == "genpercept":
+        # genpercept forces one step, no ensemble (reference run.py:209-211)
+        args.denoise_steps, args.ensemble_size = 1, 1
+
+    dtype = jnp.bfloat16 if args.half_precision else jnp.float32
+    models = load_genpercept_checkpoint(args.checkpoint, args.mode, dtype=dtype)
+    cfg = PipelineConfig(
+        mode=args.mode,
+        arch=args.archs,
+        processing_res=args.processing_res,
+        match_input_res=not args.output_processing_res,
+        denoising_steps=args.denoise_steps,
+        ensemble_size=args.ensemble_size,
+        fix_timesteps=args.fix_timesteps,
+        resample_method=args.resample_method,
+        dtype=dtype,
+    )
+    pipe = GenPerceptPipeline(models, cfg)
+
+    rgb_paths = sorted(
+        p for p in glob(osp.join(args.input_rgb_dir, "**", "*"), recursive=True)
+        if p.lower().endswith(EXTENSIONS)
+    )
+    assert rgb_paths, f"no images under {args.input_rgb_dir}"
+    logging.info(f"inference on {len(rgb_paths)} images, mode={args.mode}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    import jax
+
+    rng = jax.random.key(args.seed) if args.seed is not None else None
+    for path in rgb_paths:
+        image = np.asarray(Image.open(path).convert("RGB"))
+        out = pipe(image, rng=rng)
+
+        rel_dir = osp.dirname(osp.relpath(path, args.input_rgb_dir))
+        out_dir = osp.join(args.output_dir, rel_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        base = osp.splitext(osp.basename(path))[0] + "_pred"
+
+        np.save(osp.join(out_dir, base + ".npy"), out.pred_np)
+        if args.mode == "depth":  # 16-bit png (run.py:451-456)
+            png = (out.pred_np * 65535.0).astype(np.uint16)
+            Image.fromarray(png).save(osp.join(out_dir, base + ".png"), mode="I;16")
+        else:
+            png = (out.pred_np * 255.0).astype(np.uint8)
+            Image.fromarray(png).save(osp.join(out_dir, base + ".png"))
+        if out.pred_colored is not None:
+            Image.fromarray(out.pred_colored).save(
+                osp.join(out_dir, base + "_colored.png")
+            )
+        logging.info(f"saved {base} -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

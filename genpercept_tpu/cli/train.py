@@ -1,0 +1,138 @@
+"""Training driver CLI (rebuild of reference `accelerate_train.py`).
+
+    python -m genpercept_tpu.cli.train --config configs/train_depth.yaml \
+        --base_data_dir $BASE_DATA_DIR --checkpoint /path/to/sd21 \
+        --output_dir out/
+
+Grad-accumulation arithmetic, mixed train loader, per-process seeding, and
+the Trainer hookup; Accelerate/NCCL is replaced by a jax mesh + XLA
+collectives (accelerate_train.py:82-518 semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="GenPercept-TPU training")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", required=True, help="base SD2.1 checkpoint dir")
+    p.add_argument("--base_data_dir", default=os.environ.get("BASE_DATA_DIR", ""))
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--resume_run", default=None, help="resume from checkpoint name")
+    p.add_argument("--exit_after", type=int, default=-1, help="minutes; save+exit")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--no_wandb", action="store_true", help="ignored (jsonl/tb logging)")
+    p.add_argument("--data_parallel", type=int, default=-1,
+                   help="mesh data axis (-1: all devices)")
+    p.add_argument("--model_parallel", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genpercept_tpu.data import DatasetMode, MixedBatchSampler, get_dataset
+    from genpercept_tpu.data.sampler import ConcatDataset, DataLoader
+    from genpercept_tpu.data.transforms import get_depth_normalizer
+    from genpercept_tpu.io.checkpoints import load_genpercept_checkpoint
+    from genpercept_tpu.parallel import make_mesh
+    from genpercept_tpu.train import TrainConfig
+    from genpercept_tpu.train.trainer import Trainer
+    from genpercept_tpu.utils.config import recursive_load_config
+    from genpercept_tpu.utils.logging_util import config_logging
+    from genpercept_tpu.utils.seeding import seed_all
+
+    args = build_parser().parse_args(argv)
+    cfg = recursive_load_config(args.config)
+    config_logging(cfg.get("logging"), out_dir=args.output_dir)
+    logging.info(f"config: {args.config}")
+
+    seed = args.seed if args.seed is not None else cfg.get("trainer", {}).get("init_seed", 0)
+    seed_all(seed)
+
+    mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
+    n_data = mesh.shape["data"]
+
+    # effective batch -> grad accumulation (accelerate_train.py:180-184)
+    eff_bs = cfg.get_path("dataloader.effective_batch_size", 32)
+    max_bs = cfg.get_path("dataloader.max_train_batch_size", 2)
+    accum = max(int(eff_bs / (max_bs * n_data)), 1)
+    logging.info(
+        f"devices={jax.device_count()} mesh={dict(mesh.shape)} "
+        f"eff_bs={eff_bs} per_step_bs={max_bs * n_data} grad_accum={accum}"
+    )
+
+    mode = cfg.get_path("pipeline.kwargs.mode", cfg.get("mode", "depth"))
+    depth_norm = get_depth_normalizer(cfg.get_path("depth_normalization"))
+
+    train_cfg_data = cfg.get_path("dataset.train")
+    datasets = get_dataset(
+        train_cfg_data, args.base_data_dir, DatasetMode.TRAIN,
+        depth_transform=depth_norm,
+        augmentation_args=cfg.get("augmentation"),
+        resize_to_hw=cfg.get_path("dataset.train.resize_to_hw"),
+    )
+    if not isinstance(datasets, list):
+        datasets = [datasets]
+    concat = ConcatDataset(datasets)
+    prob_ls = cfg.get_path("dataset.train.prob_ls")
+    sampler = MixedBatchSampler(
+        datasets, batch_size=max_bs * n_data * accum, prob=prob_ls,
+        generator=np.random.default_rng(seed),
+    )
+    train_loader = DataLoader(concat, sampler)
+
+    val_loaders = {}
+    for val_cfg in cfg.get_path("dataset.val", []) or []:
+        ds = get_dataset(val_cfg, args.base_data_dir, DatasetMode.EVAL)
+        val_sampler = MixedBatchSampler([ds], batch_size=1, shuffle=False,
+                                        generator=np.random.default_rng(0))
+        val_loaders[val_cfg["name"]] = DataLoader(ConcatDataset([ds]), val_sampler)
+
+    models = load_genpercept_checkpoint(args.checkpoint, mode)
+    lr = cfg.get_path("lr", 3e-5)
+    lr_cfg = cfg.get_path("lr_scheduler.kwargs", {}) or {}
+    losses = tuple(cfg.get_path("loss.customized_loss", ["latent_mse"]))
+    train_cfg = TrainConfig(
+        mode=mode,
+        loss_names=losses,
+        lr=lr,
+        lr_total_iter_length=lr_cfg.get("total_iter_length", 25000),
+        lr_final_ratio=lr_cfg.get("final_ratio", 0.01),
+        lr_warmup_steps=lr_cfg.get("warmup_steps", 100),
+        grad_accum_steps=accum,
+        fix_timesteps=cfg.get_path("model.fix_timesteps"),
+        train_unet=cfg.get_path("model.train_unet", True),
+        train_vae_decoder=cfg.get_path("model.train_vae_decoder", False),
+        compute_dtype=jnp.bfloat16
+        if cfg.get_path("mixed_precision") == "bf16" else jnp.float32,
+    )
+
+    trainer = Trainer(
+        cfg=train_cfg,
+        models=models,
+        train_loader=train_loader,
+        val_loaders=val_loaders,
+        out_dir=args.output_dir,
+        max_iter=cfg.get_path("max_iter", 30000),
+        save_period=cfg.get_path("trainer.save_period", 50),
+        val_period=cfg.get_path("trainer.validation_period", 0),
+        main_seed=seed,
+        mesh=mesh,
+    )
+    if args.resume_run:
+        trainer.load_checkpoint(args.resume_run)
+
+    t_end = time.time() + args.exit_after * 60 if args.exit_after > 0 else None
+    trainer.train(t_end=t_end)
+
+
+if __name__ == "__main__":
+    main()

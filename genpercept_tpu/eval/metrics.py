@@ -82,7 +82,8 @@ def silog_rmse(pred, target, valid_mask=None):
         n = target.shape[-1] * target.shape[-2]
     first = jnp.sum(d**2, axis=(-1, -2)) / n
     second = jnp.sum(d, axis=(-1, -2)) ** 2 / (n**2)
-    return jnp.sqrt(jnp.mean(first - second)) * 100.0
+    # first - second == Var[d] >= 0 mathematically; clamp fp32 cancellation
+    return jnp.sqrt(jnp.maximum(jnp.mean(first - second), 0.0)) * 100.0
 
 
 METRIC_FUNCS = {

@@ -95,3 +95,35 @@ def torch_module_to_pytree(module, strip_prefix: str = "", drop_keys=()) -> Dict
     """Convenience for tests: torch nn.Module -> param tree."""
     state = {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
     return convert_torch_state_dict(state, strip_prefix, drop_keys)
+
+
+def flatten_dict(tree: Mapping[str, Any], sep: str = ".", prefix: str = "") -> Dict[str, Any]:
+    flat: Dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{sep}{k}" if prefix else k
+        if isinstance(v, Mapping):
+            flat.update(flatten_dict(v, sep, key))
+        else:
+            flat[key] = v
+    return flat
+
+
+def to_torch_state_dict(params: Mapping[str, Any], add_prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_state_dict: JAX param tree -> torch-layout
+    flat state dict (HWIO -> OIHW, (in,out) -> (out,in)). Used to export
+    checkpoints loadable by the reference/diffusers, and in tests."""
+    out: Dict[str, np.ndarray] = {}
+    for key, value in flatten_dict(params).items():
+        arr = np.asarray(value)
+        if arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        elif arr.ndim == 2 and key.endswith("weight") and not _is_embedding(key):
+            arr = np.transpose(arr, (1, 0))
+        out[add_prefix + key] = arr
+    return out
+
+
+def save_safetensors(state: Mapping[str, np.ndarray], path: str) -> None:
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, path)
