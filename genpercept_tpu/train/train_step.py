@@ -53,8 +53,16 @@ from genpercept_tpu.train.lr import iter_exponential_schedule
 class TrainConfig:
     mode: str = "depth"
     arch: str = "genpercept"  # genpercept | rgb_blending | marigold
-    # losses: subset of {latent_mse, mse, ssi, ssi_medium, grad, angular, l1}
+    # losses: subset of {latent_mse, mse, ssi, ssi_medium, grad, angular, l1,
+    # vnl, hdnr, hdsnr} (vnl needs batch["intrinsic"])
     loss_names: Tuple[str, ...] = ("mse", "ssi", "grad")
+    # LoRA fine-tuning of the UNet attention projections
+    # (genpercept_trainer.py:223-233); when set, the base UNet is frozen
+    unet_lora_rank: Optional[int] = None
+    # marigold-mode pyramid noise (genpercept_trainer.py:643-654)
+    multi_res_noise_strength: Optional[float] = None
+    multi_res_noise_strategy: str = "power_of_two"  # jit-safe strategies only
+    multi_res_noise_annealed: bool = False
     fix_timesteps: Optional[int] = None
     num_train_timesteps: int = 1000
     lr: float = 3e-5
@@ -94,6 +102,10 @@ def build_loss_fn(cfg: TrainConfig, models):
 
     def loss_fn(trainable: Dict, frozen: Dict, batch: Dict, rng) -> Tuple[jax.Array, Dict]:
         params = {**frozen, **trainable}
+        if "unet_lora" in trainable:
+            from genpercept_tpu.train.lora import apply_lora
+
+            params["unet"] = apply_lora(params["unet"], trainable["unet_lora"])
         rgb = batch["rgb_norm"].astype(cfg.compute_dtype)  # (B,H,W,3) in [-1,1]
         gt = batch["gt_norm"].astype(cfg.compute_dtype)    # (B,H,W,3) in [-1,1]
         valid = batch["valid_mask"]                        # (B,H,W) bool
@@ -112,7 +124,20 @@ def build_loss_fn(cfg: TrainConfig, models):
             noise = rgb_latent
         else:
             rng, nkey = jax.random.split(rng)
-            noise = jax.random.normal(nkey, gt_latent.shape, cfg.compute_dtype)
+            if cfg.multi_res_noise_strength is not None:
+                from genpercept_tpu.train.noise import multi_res_noise_like
+
+                strength = cfg.multi_res_noise_strength
+                if cfg.multi_res_noise_annealed:
+                    strength = strength * (
+                        t.astype(jnp.float32) / cfg.num_train_timesteps
+                    ).reshape(-1, 1, 1, 1)
+                noise = multi_res_noise_like(
+                    nkey, gt_latent.shape, strength,
+                    cfg.multi_res_noise_strategy, cfg.compute_dtype,
+                )
+            else:
+                noise = jax.random.normal(nkey, gt_latent.shape, cfg.compute_dtype)
 
         noisy = add_noise(sched, gt_latent, noise, t)
         target = get_velocity(sched, gt_latent, noise, t)
@@ -170,6 +195,17 @@ def build_loss_fn(cfg: TrainConfig, models):
                     l, w = L.gradient_loss(pred, targ, m), 2.0
                 elif name == "l1":
                     l, w = L.masked_l1(pred, targ, m), 1.0
+                elif name in ("vnl", "hdnr", "hdsnr"):
+                    from genpercept_tpu.train import metric3d_losses as M3D
+
+                    rng, lkey = jax.random.split(rng)
+                    if name == "vnl":
+                        l = M3D.vnl_loss(pred, targ, m, batch["intrinsic"], lkey)
+                    elif name == "hdnr":
+                        l = M3D.hdnl_random_loss(pred, targ, m, lkey)
+                    else:
+                        l = M3D.hdsnl_random_loss(pred, targ, m, lkey)
+                    w = 1.0
                 else:
                     raise ValueError(name)
                 aux[name] = l
@@ -199,13 +235,25 @@ def build_loss_fn(cfg: TrainConfig, models):
     return loss_fn
 
 
-def split_trainable(params: Dict, cfg: TrainConfig) -> Tuple[Dict, Dict]:
+def split_trainable(
+    params: Dict, cfg: TrainConfig, rng=None
+) -> Tuple[Dict, Dict]:
     """Partition the param tree into (trainable, frozen) per the
-    trainability matrix (genpercept_trainer.py:176-244)."""
+    trainability matrix (genpercept_trainer.py:176-244). With
+    `unet_lora_rank` set, the base UNet is frozen and a fresh LoRA tree
+    becomes the trainable unet part."""
     trainable, frozen = {}, {}
+    lora_mode = cfg.unet_lora_rank is not None
+    if lora_mode:
+        from genpercept_tpu.train.lora import init_lora
+
+        trainable["unet_lora"] = init_lora(
+            rng if rng is not None else jax.random.key(0),
+            params["unet"], cfg.unet_lora_rank,
+        )
     for k, v in params.items():
         train = (
-            (k == "unet" and cfg.train_unet)
+            (k == "unet" and cfg.train_unet and not lora_mode)
             or (k == "dpt_head" and cfg.train_dpt_head)
         )
         if k == "vae" and cfg.train_vae_decoder:
@@ -234,8 +282,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2)
 
 
-def init_train_state(params: Dict, cfg: TrainConfig):
-    trainable, frozen = split_trainable(params, cfg)
+def init_train_state(params: Dict, cfg: TrainConfig, rng=None):
+    trainable, frozen = split_trainable(params, cfg, rng)
     tx = make_optimizer(cfg)
     opt_state = tx.init(trainable)
     return trainable, frozen, tx, opt_state

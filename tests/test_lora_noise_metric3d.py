@@ -1,0 +1,127 @@
+"""LoRA, multi-res noise, and Metric3D loss tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genpercept_tpu.models import UNetConfig, init_unet, unet_apply
+from genpercept_tpu.train.lora import apply_lora, count_lora_params, init_lora
+from genpercept_tpu.train.metric3d_losses import (
+    hdnl_random_loss,
+    hdsnl_random_loss,
+    vnl_loss,
+)
+from genpercept_tpu.train.noise import multi_res_noise_like
+
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64, 128, 128),
+    attention_heads=(1, 2, 4, 4),
+    cross_attention_dim=48,
+)
+
+
+def test_lora_identity_at_init():
+    """B is zero-initialized, so apply_lora(init) must be a no-op."""
+    unet = init_unet(jax.random.key(0), TINY_UNET)
+    lora = init_lora(jax.random.key(1), unet, rank=4)
+    assert count_lora_params(lora) > 0
+    merged = apply_lora(unet, lora)
+    x = jnp.ones((1, 16, 16, 4))
+    ctx = jnp.ones((1, 77, 48))
+    t = jnp.array([1])
+    out_base = unet_apply(unet, x, t, ctx, TINY_UNET)
+    out_lora = unet_apply(merged, x, t, ctx, TINY_UNET)
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_lora), atol=1e-6)
+
+
+def test_lora_targets_only_attention_projections():
+    unet = init_unet(jax.random.key(0), TINY_UNET)
+    lora = init_lora(jax.random.key(1), unet, rank=2)
+    from genpercept_tpu.io.weights import flatten_dict
+
+    keys = list(flatten_dict(lora))
+    assert keys, "no adapters created"
+    for k in keys:
+        assert k.endswith("lora_A") or k.endswith("lora_B")
+        assert any(t in k for t in ("to_q", "to_k", "to_v", "to_out.0"))
+    # conv weights must NOT be adapted
+    assert not any("conv" in k for k in keys)
+
+
+def test_lora_changes_output_after_update():
+    unet = init_unet(jax.random.key(0), TINY_UNET)
+    lora = init_lora(jax.random.key(1), unet, rank=4)
+    # nudge B away from zero
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    merged = apply_lora(unet, lora)
+    x = jnp.ones((1, 16, 16, 4))
+    out_base = unet_apply(unet, x, jnp.array([1]), jnp.ones((1, 77, 48)), TINY_UNET)
+    out_lora = unet_apply(merged, x, jnp.array([1]), jnp.ones((1, 77, 48)), TINY_UNET)
+    assert float(jnp.abs(out_base - out_lora).max()) > 1e-6
+
+
+@pytest.mark.parametrize("strategy", ["original", "every_layer", "power_of_two", "random_step"])
+def test_multi_res_noise_unit_variance(strategy):
+    noise = multi_res_noise_like(
+        jax.random.key(0), (2, 32, 32, 4), strength=0.9, downscale_strategy=strategy
+    )
+    assert noise.shape == (2, 32, 32, 4)
+    np.testing.assert_allclose(float(jnp.std(noise)), 1.0, atol=1e-5)
+    # spatial correlation must exceed white noise (pyramid adds low-freq)
+    flat = np.asarray(noise)[0, :, :, 0]
+    corr = np.corrcoef(flat[:-1].ravel(), flat[1:].ravel())[0, 1]
+    assert corr > 0.1, corr
+
+
+def _depth_batch(seed=0, b=2, hw=64):
+    rng = np.random.default_rng(seed)
+    target = rng.uniform(1, 10, (b, hw, hw)).astype(np.float32)
+    mask = np.ones((b, hw, hw), bool)
+    mask[:, : hw // 4] = False
+    return jnp.asarray(target), jnp.asarray(mask)
+
+
+def test_hdsnl_zero_for_perfect_pred():
+    target, mask = _depth_batch()
+    loss = hdsnl_random_loss(target, target, mask, jax.random.key(0))
+    assert float(loss) < 1e-4
+
+
+def test_hdsnl_positive_and_finite_for_noise():
+    target, mask = _depth_batch()
+    pred = target + jax.random.normal(jax.random.key(1), target.shape)
+    loss = hdsnl_random_loss(pred, target, mask, jax.random.key(0))
+    assert np.isfinite(float(loss)) and float(loss) > 0.01
+
+
+def test_hdnl_zero_for_perfect_pred_and_positive_for_noise():
+    target, mask = _depth_batch(1)
+    l0 = hdnl_random_loss(target, target, mask, jax.random.key(0))
+    assert float(l0) < 1e-3
+    pred = target * 1.5 + jax.random.normal(jax.random.key(2), target.shape)
+    l1 = hdnl_random_loss(pred, target, mask, jax.random.key(0))
+    assert np.isfinite(float(l1)) and float(l1) > float(l0)
+
+
+def test_vnl_zero_for_perfect_and_positive_for_corrupted():
+    target, mask = _depth_batch(2, b=1, hw=48)
+    intr = jnp.asarray([[[50.0, 0, 24], [0, 50.0, 24], [0, 0, 1]]])
+    l0 = vnl_loss(target, target, mask, intr, jax.random.key(0))
+    assert float(l0) < 1e-5
+    pred = target + 2.0 * jax.random.normal(jax.random.key(3), target.shape)
+    pred = jnp.clip(pred, 0.1, None)
+    l1 = vnl_loss(pred, target, mask, intr, jax.random.key(0))
+    assert np.isfinite(float(l1)) and float(l1) > 0.05
+
+
+def test_vnl_jits_and_differentiates():
+    target, mask = _depth_batch(3, b=1, hw=32)
+    intr = jnp.asarray([[[50.0, 0, 16], [0, 50.0, 16], [0, 0, 1]]])
+
+    @jax.jit
+    def f(pred):
+        return vnl_loss(pred, target, mask, intr, jax.random.key(0))
+
+    g = jax.grad(f)(target + 0.5)
+    assert np.isfinite(np.asarray(g)).all()
