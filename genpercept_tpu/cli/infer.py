@@ -27,6 +27,7 @@ def build_parser():
     p.add_argument("--resample_method", default="bilinear")
     p.add_argument("--half_precision", action="store_true")
     p.add_argument("--fix_timesteps", type=int, default=None)
+    p.add_argument("--prompt", default="", help="text prompt (reference infer.py:183)")
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -52,6 +53,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.half_precision else jnp.float32
     models = load_genpercept_checkpoint(args.checkpoint, args.mode, dtype=dtype)
+    if args.prompt:
+        models.text_embed = models.encode_prompt(args.prompt)
     pipe = GenPerceptPipeline(
         models,
         PipelineConfig(

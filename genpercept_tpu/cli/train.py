@@ -99,7 +99,20 @@ def main(argv=None):
     models = load_genpercept_checkpoint(args.checkpoint, mode)
     lr = cfg.get_path("lr", 3e-5)
     lr_cfg = cfg.get_path("lr_scheduler.kwargs", {}) or {}
-    losses = tuple(cfg.get_path("loss.customized_loss", ["latent_mse"]))
+    # reference loss naming (config `loss.name` list) -> internal names
+    loss_name_map = {
+        "mse_loss": "mse", "least_square_ssi_loss": "ssi",
+        "medium_ssi_loss": "ssi_medium", "grad_loss": "grad",
+        "angular_loss": "angular", "l1_loss": "l1",
+        "vnl_loss": "vnl", "hdnr_loss": "hdnr", "hdsnr_loss": "hdsnr",
+    }
+    raw_losses = cfg.get_path("loss.name") or cfg.get_path(
+        "loss.customized_loss_names", ["latent_mse"]
+    )
+    if isinstance(raw_losses, str):
+        raw_losses = [raw_losses]
+    losses = tuple(loss_name_map.get(n, n) for n in raw_losses)
+    mrn = cfg.get_path("multi_res_noise")
     train_cfg = TrainConfig(
         mode=mode,
         loss_names=losses,
@@ -111,6 +124,9 @@ def main(argv=None):
         fix_timesteps=cfg.get_path("model.fix_timesteps"),
         train_unet=cfg.get_path("model.train_unet", True),
         train_vae_decoder=cfg.get_path("model.train_vae_decoder", False),
+        unet_lora_rank=cfg.get_path("model.unet_lora_rank"),
+        multi_res_noise_strength=(mrn or {}).get("strength"),
+        multi_res_noise_annealed=(mrn or {}).get("annealed", False),
         compute_dtype=jnp.bfloat16
         if cfg.get_path("mixed_precision") == "bf16" else jnp.float32,
     )

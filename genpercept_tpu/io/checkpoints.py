@@ -178,6 +178,8 @@ def load_genpercept_checkpoint(
 
         text_embed = jnp.asarray(np.load(embed_path), dtype)
 
+    from genpercept_tpu.utils.tokenizer import load_tokenizer
+
     return GenPerceptModels(
         unet=unet,
         vae=vae,
@@ -188,6 +190,7 @@ def load_genpercept_checkpoint(
         text_embed=text_embed,
         dpt_head=dpt_head,
         dpt_cfg=dpt_cfg,
+        tokenizer=load_tokenizer(ckpt_dir),
     )
 
 

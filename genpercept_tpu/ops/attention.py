@@ -47,16 +47,20 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
     sq, sk = q.shape[1], k.shape[1]
     if use_flash is None:
+        from genpercept_tpu.ops import flash_attention as fa
+
+        # long self-attention sequences only (short cross-attn over 77 text
+        # tokens fuses fine in XLA); kernel needs TPU (not the CPU backend)
         use_flash = (
-            sq >= 1024 and sk >= 1024 and sq % 512 == 0 and sk % 512 == 0
+            sq >= 2048
+            and sk >= 2048
+            and fa.supported(sq, sk, q.shape[-1])
+            and jax.default_backend() != "cpu"
         )
     if use_flash:
         from genpercept_tpu.ops.flash_attention import flash_attention
 
-        try:
-            return flash_attention(q, k, v, scale=scale)
-        except Exception:  # pragma: no cover — fall back if kernel unsupported
-            return _xla_attention(q, k, v, scale)
+        return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)
 
 

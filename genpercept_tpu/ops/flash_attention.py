@@ -1,14 +1,17 @@
-"""Pallas TPU flash attention (non-causal, no mask) for UNet/VAE self-attention.
+"""Pallas TPU flash attention (non-causal) for UNet and VAE attention.
 
 Replaces xformers memory-efficient attention (reference `run.py:383`,
-`genpercept_trainer.py:235`). Online-softmax over K/V blocks: the full
-(Sq x Sk) logits matrix never materializes in VMEM/HBM. At 768^2 input the
-UNet's first-stage self-attention runs at Sq=Sk=9216, head_dim 64 — the
-dominant attention cost this kernel targets.
+`genpercept_trainer.py:235`). Online-softmax with K/V streamed block-by-block
+through VMEM on a (batch*heads, q_blocks, k_blocks) grid — the (Sq x Sk)
+logits matrix never exists in HBM. Running max / denominator / accumulator
+live in VMEM scratch, persistent across the innermost ("arbitrary") k grid
+dimension.
 
-Grid: (batch*heads, Sq/q_block). K/V for one (batch, head) are staged into
-VMEM in full (<= 2.25 MB each at 9216x64 fp32) and consumed in k_block
-slices by an online-softmax fori_loop.
+Covers both hot attention shapes of the GenPercept stack at 768^2 input:
+  - UNet self-attention: Sq=Sk in {9216, 2304, 576}, head_dim 64
+  - VAE mid-block attention: Sq=Sk=9216, ONE head of dim 512 (the XLA
+    fallback materializes ~340 MB of logits per image here — this kernel is
+    what makes the VAE encoder/decoder fast)
 """
 
 from __future__ import annotations
@@ -23,69 +26,90 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _pick_block(s: int, candidates=(512, 384, 256, 128, 64)) -> int | None:
+def _pick_block(s: int, cap: int, candidates=(1024, 768, 512, 384, 256, 128, 64)) -> int | None:
     for b in candidates:
-        if s % b == 0:
+        if b <= cap and s % b == 0:
             return b
     return None
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, k_blk: int):
-    q = q_ref[0].astype(jnp.float32) * scale  # (q_blk, D)
-    q_blk, d = q.shape
-    s_k = k_ref.shape[1]
-    num_kb = s_k // k_blk
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * k_blk, k_blk), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * k_blk, k_blk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (q_blk, k_blk)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    m0 = jnp.full((q_blk, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((q_blk, 1), jnp.float32)
-    acc0 = jnp.zeros((q_blk, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    q = q_ref[0].astype(jnp.float32) * scale  # (q_blk, d)
+    k = k_ref[0].astype(jnp.float32)  # (k_blk, d)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (q_blk, k_blk)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[:] = m_new
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
-    """qh/kh/vh: (BH, S, D)."""
+    """qh: (BH, Sq, D); kh/vh: (BH, Sk, D)."""
     bh, sq, d = qh.shape
     sk = kh.shape[1]
-    q_blk = _pick_block(sq)
-    k_blk = _pick_block(sk)
-    grid = (bh, sq // q_blk)
-    kernel = functools.partial(_flash_kernel, scale=scale, k_blk=k_blk)
+    # VMEM budget: q + out + 2*(k,v) blocks + fp32 acc + logits; cap blocks
+    # so the working set stays well under ~8 MB with double buffering.
+    q_cap = 512 if d <= 128 else 256
+    k_cap = 1024 if d <= 128 else 512
+    q_blk = _pick_block(sq, q_cap)
+    k_blk = _pick_block(sk, k_cap)
+    grid = (bh, sq // q_blk, sk // k_blk)
+    kernel = functools.partial(_flash_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_blk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, q_blk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_blk, 1), jnp.float32),  # running max
+            pltpu.VMEM((q_blk, 1), jnp.float32),  # running denominator
+            pltpu.VMEM((q_blk, d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(qh, kh, vh)
 
 
 def supported(sq: int, sk: int, d: int) -> bool:
+    q_cap = 512 if d <= 128 else 256
+    k_cap = 1024 if d <= 128 else 512
     return (
-        _pick_block(sq) is not None
-        and _pick_block(sk) is not None
-        and d in (64, 128)
+        _pick_block(sq, q_cap) is not None
+        and _pick_block(sk, k_cap) is not None
+        and d in (64, 128, 256, 512)
     )
 
 
@@ -101,7 +125,11 @@ def flash_attention(
         raise ValueError(f"flash_attention unsupported shape {(sq, sk, d)}")
 
     def to_bhsd(x, s):
+        if h == 1:
+            return x.reshape(b, s, d)
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     out = _flash_bhsd(to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), scale)
+    if h == 1:
+        return out.reshape(b, sq, 1, d)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

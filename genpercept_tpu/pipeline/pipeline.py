@@ -93,6 +93,7 @@ class GenPerceptModels:
     clip_cfg: CLIPTextConfig = SD21_CLIP_TEXT
     dpt_head: Optional[Dict[str, Any]] = None
     dpt_cfg: DPTHeadConfig = DPTHeadConfig()
+    tokenizer: Optional[Any] = None  # utils.tokenizer.CLIPTokenizer
 
     def get_text_embed(self) -> jax.Array:
         """Empty-prompt CLIP embedding, cached (reference
@@ -103,6 +104,17 @@ class GenPerceptModels:
                 self.clip, empty_prompt_ids(self.clip_cfg), self.clip_cfg
             )
         return self.text_embed
+
+    def encode_prompt(self, prompt: str) -> jax.Array:
+        """CLIP embedding for an arbitrary prompt (reference infer.py
+        --prompt). Needs CLIP params; non-empty prompts also need the
+        checkpoint's tokenizer files."""
+        if not prompt:
+            return self.get_text_embed()
+        assert self.clip is not None, "custom prompts need CLIP params"
+        assert self.tokenizer is not None, "custom prompts need tokenizer files"
+        ids = jnp.asarray(self.tokenizer(prompt), jnp.int32)
+        return clip_text_apply(self.clip, ids, self.clip_cfg)
 
     def params(self) -> Dict[str, Any]:
         p = {"unet": self.unet, "vae": self.vae, "text_embed": self.get_text_embed()}
