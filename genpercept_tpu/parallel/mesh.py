@@ -36,8 +36,8 @@ def make_mesh(
     if data == -1:
         assert n % model == 0
         data = n // model
-    assert data * model == n, f"{data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
+    assert data * model <= n, f"{data}x{model} > {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

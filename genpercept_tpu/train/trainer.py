@@ -58,6 +58,8 @@ class Trainer:
         max_iter: int = 30000,
         save_period: int = 50,
         val_period: int = 0,
+        vis_period: int = 0,
+        vis_loaders: Optional[Dict[str, object]] = None,
         main_seed: Optional[int] = 0,
         mesh=None,
     ):
@@ -69,6 +71,8 @@ class Trainer:
         self.max_iter = max_iter
         self.save_period = save_period
         self.val_period = val_period
+        self.vis_period = vis_period
+        self.vis_loaders = vis_loaders or {}
         self.mesh = mesh
 
         params = models.params()
@@ -167,6 +171,36 @@ class Trainer:
             self.save_checkpoint("latest")
         if self.val_period and self.effective_iter % self.val_period == 0:
             self.validate()
+        if self.vis_period and self.effective_iter % self.vis_period == 0:
+            self.visualize()
+
+    def visualize(self) -> None:
+        """Save colorized predictions on the vis split (reference
+        genpercept_trainer.py:1065-1076)."""
+        from PIL import Image
+
+        from genpercept_tpu.ops.colorize import colorize_depth
+        from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
+
+        params = self.current_params()
+        pipe_cfg = PipelineConfig(mode=self.cfg.mode)
+        infer = jax.jit(build_single_infer(self.models, pipe_cfg))
+        vis_dir = osp.join(self.out_dir, "visualization",
+                           f"iter_{self.effective_iter:06d}")
+        os.makedirs(vis_dir, exist_ok=True)
+        for name, loader in self.vis_loaders.items():
+            for j, raw in enumerate(loader):
+                rgb01 = (np.asarray(raw["rgb_norm"]) + 1.0) / 2.0
+                pred = infer(params, jnp.asarray(rgb01, jnp.float32))
+                if pred.ndim == 3:  # single-channel: colorize
+                    img = np.asarray(
+                        (colorize_depth(pred[0]) * 255).astype(jnp.uint8)
+                    )
+                else:
+                    img = np.asarray((pred[0] * 255).astype(jnp.uint8))
+                Image.fromarray(img).save(osp.join(vis_dir, f"{name}_{j:03d}.png"))
+                if j >= 3:
+                    break
 
     # ------------------------------------------------------------ validate
 
