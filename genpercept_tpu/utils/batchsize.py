@@ -12,8 +12,8 @@ import bisect
 
 # {dtype: {max_resolution_long_side: max_batch}} — v5e (16 GB HBM)
 _V5E_TABLE = {
-    "bfloat16": {512: 32, 768: 12, 1024: 6, 1536: 2},
-    "float32": {512: 12, 768: 5, 1024: 2, 1536: 1},
+    "bfloat16": {512: 32, 768: 16, 1024: 8, 1536: 2},
+    "float32": {512: 12, 768: 6, 1024: 2, 1536: 1},
 }
 
 
