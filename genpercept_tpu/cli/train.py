@@ -54,6 +54,21 @@ def main(argv=None):
     config_logging(cfg.get("logging"), out_dir=args.output_dir)
     logging.info(f"config: {args.config}")
 
+    # persist the merged config for resume (accelerate_train.py:269-273) and
+    # snapshot the code tree (accelerate_train.py:268-282)
+    import tarfile
+
+    import yaml
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(dict(cfg), f)
+    if not args.resume_run:
+        snap = os.path.join(args.output_dir, "code_snapshot.tar.gz")
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with tarfile.open(snap, "w:gz") as tar:
+            tar.add(pkg_root, arcname="genpercept_tpu")
+
     seed = args.seed if args.seed is not None else cfg.get("trainer", {}).get("init_seed", 0)
     seed_all(seed)
 

@@ -41,11 +41,22 @@ class DPTHeadConfig:
     fusion_hidden_size: int = 256
     add_projection: bool = True
     head_in_index: int = -1
-    final_relu: bool = True  # False => "Identity" variant (disparity)
+    # final activation: "relu" (depth/seg), "identity" (disparity variant),
+    # "elu_plus_one" (v1 ELU head zoo, dpt_head_elu.py:183-221: ELU(x)+1,
+    # range [0, inf))
+    final_act: str = "relu"
+    # v1 DPTNeckHeadForUnet (dpt_head_elu.py:247) skips the Upsample2D on
+    # the finest feature
+    upsample_first_feature: bool = True
+
+    @property
+    def final_relu(self) -> bool:  # backward-compatible alias
+        return self.final_act == "relu"
 
 
 DPT_GENERAL = DPTHeadConfig()
-DPT_IDENTITY = DPTHeadConfig(final_relu=False)
+DPT_IDENTITY = DPTHeadConfig(final_act="identity")
+DPT_ELU = DPTHeadConfig(final_act="elu_plus_one")
 
 
 def init_dpt_head(key, cfg: DPTHeadConfig = DPT_GENERAL) -> Params:
@@ -70,10 +81,6 @@ def init_dpt_head(key, cfg: DPTHeadConfig = DPT_GENERAL) -> Params:
         fusion_layers[str(i)] = layer
 
     p: Params = {
-        "feature_upsample_0": {
-            "conv": conv_init(next(keys), 3, 3, cfg.neck_hidden_sizes[0],
-                              cfg.neck_hidden_sizes[0])
-        },
         "neck": {
             "convs": {
                 str(i): conv_init(next(keys), 3, 3, c, f, bias=False)
@@ -89,6 +96,11 @@ def init_dpt_head(key, cfg: DPTHeadConfig = DPT_GENERAL) -> Params:
             }
         },
     }
+    if cfg.upsample_first_feature:
+        p["feature_upsample_0"] = {
+            "conv": conv_init(next(keys), 3, 3, cfg.neck_hidden_sizes[0],
+                              cfg.neck_hidden_sizes[0])
+        }
     if cfg.add_projection:
         p["head"]["projection"] = conv_init(next(keys), 3, 3, f, f)
     return p
@@ -119,10 +131,11 @@ def dpt_head_apply(
     assert len(hidden_states) == len(cfg.neck_hidden_sizes)
     hs = list(hidden_states)
 
-    # Upsample2D(use_conv=True): nearest x2 + 3x3 conv on the finest feature
-    x0 = hs[0]
-    x0 = jnp.repeat(jnp.repeat(x0, 2, axis=1), 2, axis=2)
-    hs[0] = conv(p["feature_upsample_0"]["conv"], x0)
+    if cfg.upsample_first_feature:
+        # Upsample2D(use_conv=True): nearest x2 + 3x3 conv on finest feature
+        x0 = hs[0]
+        x0 = jnp.repeat(jnp.repeat(x0, 2, axis=1), 2, axis=2)
+        hs[0] = conv(p["feature_upsample_0"]["conv"], x0)
 
     feats = [
         conv(p["neck"]["convs"][str(i)], h) for i, h in enumerate(hs)
@@ -145,6 +158,8 @@ def dpt_head_apply(
     h = resize_bilinear_align_corners(h, (h.shape[1] * 2, h.shape[2] * 2))
     h = jax.nn.relu(conv(head["head"]["2"], h))
     h = conv1x1(h, head["head"]["4"]["weight"][0, 0], head["head"]["4"].get("bias"))
-    if cfg.final_relu:
+    if cfg.final_act == "relu":
         h = jax.nn.relu(h)
+    elif cfg.final_act == "elu_plus_one":
+        h = jax.nn.elu(h) + 1.0
     return h[..., 0]

@@ -308,7 +308,8 @@ def test_dpt_head_matches_torch_assembly():
 
 def test_dpt_identity_variant_allows_negative():
     cfg = DPTHeadConfig(
-        neck_hidden_sizes=(8, 16, 24, 24), fusion_hidden_size=16, final_relu=False
+        neck_hidden_sizes=(8, 16, 24, 24), fusion_hidden_size=16,
+        final_act="identity"
     )
     params = init_dpt_head(jax.random.key(0), cfg)
     H = 8
