@@ -77,6 +77,26 @@ def _tp_spec_for(path: str, ndim: int) -> P:
     return P()
 
 
+def shard_opt_state_zero1(opt_state, mesh: Mesh) -> Any:
+    """ZeRO-1-style optimizer-state sharding: slice each optimizer moment's
+    largest divisible axis across the 'data' mesh axis (the reference's
+    optional DeepSpeed hook, accelerate_train.py:198-202 — here it's just a
+    sharding annotation; XLA inserts the reduce-scatter/all-gather)."""
+    n_data = mesh.shape["data"]
+
+    def place(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return leaf
+        for dim, size in enumerate(leaf.shape):
+            if size % n_data == 0 and size >= n_data:
+                spec = [None] * leaf.ndim
+                spec[dim] = "data"
+                return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
 def shard_params_tp(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a param pytree on the mesh with the TP layout above.
 

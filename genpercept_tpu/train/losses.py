@@ -50,6 +50,52 @@ def mean_abs_rel(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(pred - target) / jnp.maximum(jnp.abs(target), _EPS))
 
 
+def get_loss(loss_name: str, **kwargs):
+    """Latent-loss factory (reference src/util/loss.py:20-36): names
+    silog_mse / silog_rmse / mse_loss / l1_loss / l1_loss_with_mask /
+    mean_abs_rel."""
+    if loss_name == "silog_mse":
+        return lambda pred, target, **kw: silog_mse(pred, target)
+    if loss_name == "silog_rmse":
+        return lambda pred, target, **kw: silog_rmse(pred, target)
+    if loss_name == "mse_loss":
+        return lambda pred, target, **kw: jnp.mean((pred - target) ** 2)
+    if loss_name == "l1_loss":
+        return lambda pred, target, **kw: jnp.mean(jnp.abs(pred - target))
+    if loss_name == "l1_loss_with_mask":
+        return lambda pred, target, mask=None, **kw: masked_l1(
+            pred, target, mask if mask is not None else jnp.ones_like(pred, bool)
+        )
+    if loss_name == "mean_abs_rel":
+        return lambda pred, target, **kw: mean_abs_rel(pred, target)
+    raise ValueError(f"unknown loss: {loss_name}")
+
+
+def l1_disp_loss(pred_disp: jax.Array, inv_depth: jax.Array, mask: jax.Array) -> jax.Array:
+    """L1DispLoss (l1_loss.py:24-44): masked L1 in disparity space."""
+    return _masked_sum_mean(jnp.abs(pred_disp - inv_depth), mask.astype(pred_disp.dtype))
+
+
+def l1_inverse_loss(pred_depth: jax.Array, inv_depth: jax.Array, mask: jax.Array) -> jax.Array:
+    """L1InverseLoss (l1_loss.py:46-63): invert the prediction (x10), masked
+    to positive GT disparity."""
+    m = mask & (inv_depth > 0)
+    inv_pred = 10.0 / jnp.maximum(pred_depth, _EPS)
+    return _masked_sum_mean(jnp.abs(inv_pred - inv_depth), m.astype(pred_depth.dtype))
+
+
+def sig_loss(pred: jax.Array, target: jax.Array, mask: jax.Array,
+             lam: float = 0.85) -> jax.Array:
+    """Scale-invariant log loss over masked pixels (geometry_losses.py
+    sig_loss family)."""
+    m = mask.astype(pred.dtype)
+    n = jnp.sum(m) + _EPS
+    d = (jnp.log(jnp.maximum(pred, _EPS)) - jnp.log(jnp.maximum(target, _EPS))) * m
+    return jnp.sqrt(jnp.maximum(
+        jnp.sum(d**2) / n - lam * (jnp.sum(d) / n) ** 2, 0.0
+    ))
+
+
 # --------------------------------------------------- scale/shift invariance
 
 def compute_scale_and_shift(pred: jax.Array, target: jax.Array, mask: jax.Array):
@@ -155,6 +201,24 @@ def gradient_loss(
             pred[:, ::step, ::step], target[:, ::step, ::step], mask[:, ::step, ::step]
         )
     return total
+
+
+def gradient_log_loss(
+    pred: jax.Array, target: jax.Array, mask: jax.Array, scales: int = 1
+) -> jax.Array:
+    """Log-space multi-scale gradient loss (GradientLoss_Li,
+    gradient_loss.py:43-63): invalid targets shifted far before the log."""
+    target_safe = jnp.where(mask, target, target + 100.0)
+    pred_log = jnp.log(jnp.maximum(pred, _EPS))
+    gt_log = jnp.log(jnp.maximum(target_safe, _EPS))
+    total = 0.0
+    for scale in range(scales):
+        step = 2**scale
+        total += _gradient_term(
+            pred_log[:, ::step, ::step], gt_log[:, ::step, ::step],
+            mask[:, ::step, ::step],
+        )
+    return total / scales
 
 
 # ----------------------------------------------------------- normals losses
