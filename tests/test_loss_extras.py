@@ -45,7 +45,12 @@ def test_sig_loss():
     x = jnp.asarray(np.random.default_rng(2).uniform(1, 5, (1, 8, 8)), jnp.float32)
     m = jnp.ones((1, 8, 8), bool)
     assert float(sig_loss(x, x, m)) < 1e-4
-    assert float(sig_loss(x * 3, x, m)) < 1e-3  # scale-invariant
+    # fully scale-invariant only at lam=1.0
+    assert float(sig_loss(x * 3, x, m, lam=1.0)) < 1e-3
+    # at the default lam=0.85 a global scale leaves sqrt(0.15)*log(3)
+    np.testing.assert_allclose(
+        float(sig_loss(x * 3, x, m)), np.sqrt(0.15) * np.log(3), atol=1e-3
+    )
     y = x + jnp.asarray(np.random.default_rng(3).normal(0, 0.5, (1, 8, 8)), jnp.float32)
     assert float(sig_loss(jnp.clip(y, 0.1), x, m)) > 0.01
 
