@@ -76,8 +76,28 @@ class TrainConfig:
     train_dpt_head: bool = True
     train_vae_decoder: bool = False
     compute_dtype: Any = jnp.float32  # bf16 for production
+    # rematerialize the UNet forward in backward (trades FLOPs for HBM,
+    # enabling larger per-chip batch — jax.checkpoint)
+    remat_unet: bool = False
 
     scheduler: SchedulerConfig = GENPERCEPT_SCHEDULER
+
+
+def replace_unet_conv_in(unet_params: Dict, unet_cfg) -> Tuple[Dict, Any]:
+    """Marigold-mode conv_in surgery (genpercept_trainer.py:539-558): widen
+    the 4-channel input conv to 8 channels by duplicating the kernel along
+    the input-channel axis and halving it, so the initial output at
+    [rgb_latent, noisy] == the SD2.1 output at their mean."""
+    import dataclasses
+
+    w = unet_params["conv_in"]["weight"]  # (3, 3, 4, C)
+    assert w.shape[2] == 4, "conv_in already widened?"
+    new_w = jnp.concatenate([w, w], axis=2) * 0.5
+    new_params = dict(unet_params)
+    new_params["conv_in"] = dict(unet_params["conv_in"])
+    new_params["conv_in"]["weight"] = new_w
+    new_cfg = dataclasses.replace(unet_cfg, in_channels=8)
+    return new_params, new_cfg
 
 
 def downscale_valid_mask(valid_mask: jax.Array, factor: int = 8) -> jax.Array:
@@ -99,6 +119,17 @@ def build_loss_fn(cfg: TrainConfig, models):
     dpt_cfg: DPTHeadConfig = models.dpt_cfg
     sched = make_scheduler(cfg.scheduler)
     use_head = models.dpt_head is not None
+
+    def _unet_plain(p, x, t, ctx):
+        return unet_apply(p, x, t, ctx, unet_cfg)
+
+    def _unet_feats(p, x, t, ctx):
+        _, feats = unet_apply(p, x, t, ctx, unet_cfg, return_features=True)
+        return feats
+
+    if cfg.remat_unet:
+        _unet_plain = jax.checkpoint(_unet_plain)
+        _unet_feats = jax.checkpoint(_unet_feats)
 
     def loss_fn(trainable: Dict, frozen: Dict, batch: Dict, rng) -> Tuple[jax.Array, Dict]:
         params = {**frozen, **trainable}
@@ -158,12 +189,11 @@ def build_loss_fn(cfg: TrainConfig, models):
         mask_latent = downscale_valid_mask(valid)[..., None]  # (B,h,w,1)
 
         if use_head:
-            _, feats = unet_apply(params["unet"], unet_in, t, text, unet_cfg,
-                                  return_features=True)
+            feats = _unet_feats(params["unet"], unet_in, t, text)
             head_pred = dpt_head_apply(params["dpt_head"], feats[::-1], dpt_cfg)
             pred_px = head_pred  # (B,H,W)
         else:
-            v = unet_apply(params["unet"], unet_in, t, text, unet_cfg)
+            v = _unet_plain(params["unet"], unet_in, t, text)
             if "latent_mse" in cfg.loss_names:
                 l = L.masked_mse(
                     v.astype(jnp.float32), target.astype(jnp.float32),
