@@ -104,12 +104,17 @@ def main(argv=None):
     )
     train_loader = DataLoader(concat, sampler)
 
-    val_loaders = {}
-    for val_cfg in cfg.get_path("dataset.val", []) or []:
-        ds = get_dataset(val_cfg, args.base_data_dir, DatasetMode.EVAL)
-        val_sampler = MixedBatchSampler([ds], batch_size=1, shuffle=False,
+    def _eval_loaders(key):
+        out = {}
+        for ds_cfg in cfg.get_path(key, []) or []:
+            ds = get_dataset(ds_cfg, args.base_data_dir, DatasetMode.EVAL)
+            sampler = MixedBatchSampler([ds], batch_size=1, shuffle=False,
                                         generator=np.random.default_rng(0))
-        val_loaders[val_cfg["name"]] = DataLoader(ConcatDataset([ds]), val_sampler)
+            out[ds_cfg["name"]] = DataLoader(ConcatDataset([ds]), sampler)
+        return out
+
+    val_loaders = _eval_loaders("dataset.val")
+    vis_loaders = _eval_loaders("dataset.vis")
 
     models = load_genpercept_checkpoint(args.checkpoint, mode)
     lr = cfg.get_path("lr", 3e-5)
@@ -155,6 +160,8 @@ def main(argv=None):
         max_iter=cfg.get_path("max_iter", 30000),
         save_period=cfg.get_path("trainer.save_period", 50),
         val_period=cfg.get_path("trainer.validation_period", 0),
+        vis_period=cfg.get_path("trainer.visualization_period", 0),
+        vis_loaders=vis_loaders,
         main_seed=seed,
         mesh=mesh,
     )

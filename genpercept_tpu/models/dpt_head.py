@@ -16,6 +16,13 @@ transformers-DPT pieces with the reassemble stage disabled:
 
 For latent 96 (768^2 input) the output is (B, 768, 768).
 
+Variant coverage (config flags):
+  final_act="identity"         -> ...Identity (disparity, dpt_head.py:585)
+  final_act="elu_plus_one"     -> v1 ELU zoo (dpt_head_elu.py:183-221)
+  upsample_first_feature=False -> v1 DPTNeckHeadForUnet /
+                                  ...WithVaeDecoderWithNeck (dpt_head_elu.py:
+                                  247,537 — neck+head without the Upsample2D)
+
 Param tree keys mirror the reference checkpoint layout
 (feature_upsample_0.conv, neck.convs.N, neck.fusion_stage.layers.N.{projection,
 residual_layer1,residual_layer2}.{convolution1,convolution2}, head.projection,

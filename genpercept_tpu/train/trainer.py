@@ -208,19 +208,34 @@ class Trainer:
         return merge_vae(self.trainable, self.frozen)
 
     def validate(self) -> Dict[str, Dict[str, float]]:
-        """Run the real inference pipeline over each val split and compute
-        depth metrics with least-squares alignment (reference :1078-1243)."""
+        """Run the real inference pipeline over each val split. Depth mode:
+        least-squares-aligned depth metrics (reference :1078-1243); other
+        modes: masked L1 against the normalized GT."""
         from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
 
         results = {}
         params = self.current_params()
         pipe_cfg = PipelineConfig(mode=self.cfg.mode)
         infer = jax.jit(build_single_infer(self.models, pipe_cfg))
+        gt_key, mask_key = GT_KEYS[self.cfg.mode]
         for name, loader in self.val_loaders.items():
             tracker = MetricTracker()
             for raw in loader:
                 rgb01 = (np.asarray(raw["rgb_norm"]) + 1.0) / 2.0
                 pred = np.asarray(infer(params, jnp.asarray(rgb01, jnp.float32)))
+                if self.cfg.mode != "depth":
+                    gt01 = (np.asarray(raw[gt_key]) + 1.0) / 2.0
+                    mask = np.asarray(raw[mask_key]).astype(bool)
+                    if pred.ndim == 4 and gt01.ndim == 3:
+                        gt01 = gt01[..., None]
+                    diff = np.abs(pred - gt01)
+                    if diff.ndim == 4:
+                        diff = diff.mean(-1)
+                    tracker.update(
+                        "masked_l1",
+                        float(diff[mask].mean()) if mask.any() else 0.0,
+                    )
+                    continue
                 gt = np.asarray(raw["depth_raw_linear"])
                 valid = np.asarray(raw["valid_mask_raw"]).astype(bool)
                 for i in range(pred.shape[0]):
