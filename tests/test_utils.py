@@ -48,8 +48,8 @@ def test_tokenizer_lowercases_and_truncates():
 
 
 def test_find_batch_size_table():
-    assert find_batch_size(1, 768, "bfloat16") == 12
-    assert find_batch_size(1, 768, "float32") == 5
+    assert find_batch_size(1, 768, "bfloat16") == 16
+    assert find_batch_size(1, 768, "float32") == 6
     assert find_batch_size(1, 512, "bfloat16") == 32
     assert find_batch_size(1, 4096, "bfloat16") == 1  # beyond table
     assert find_batch_size(3, 768, "bfloat16") == 3  # capped by ensemble
