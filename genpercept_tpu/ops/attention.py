@@ -65,10 +65,10 @@ def dot_product_attention(
 
 
 def attention_projection(x, w, b=None):
-    """Linear projection for q/k/v/out: x (..., Din) @ w (Din, Dout)."""
-    out = jnp.einsum(
-        "...i,io->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32
-    )
+    """Linear projection for q/k/v/out: x (..., Din) @ w (Din, Dout).
+    Output keeps x's dtype (bf16 matmuls accumulate fp32 on the MXU; typed
+    fp32 outputs would break transpose-gradient dtype matching)."""
+    out = jnp.einsum("...i,io->...o", x, w.astype(x.dtype))
     if b is not None:
-        out = out + b.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + b.astype(out.dtype)
+    return out

@@ -27,17 +27,19 @@ def conv2d(
         padding = [(padding, padding), (padding, padding)]
     elif isinstance(padding, tuple):
         padding = [padding, padding]
+    # NOTE: no preferred_element_type here — bf16 convs accumulate in fp32
+    # on the MXU natively, and a fp32-typed output breaks the transposed-conv
+    # gradient rule (cotangent fp32 vs bf16 operands).
     out = jax.lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
         window_strides=stride,
         padding=padding,
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def conv1x1(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax.Array:
@@ -45,10 +47,7 @@ def conv1x1(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> j
     HWIO (1,1,Cin,Cout)."""
     if kernel.ndim == 4:
         kernel = kernel[0, 0]
-    out = jnp.einsum(
-        "...i,io->...o", x, kernel.astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    out = jnp.einsum("...i,io->...o", x, kernel.astype(x.dtype))
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out

@@ -113,16 +113,9 @@ def supported(sq: int, sk: int, d: int) -> bool:
     )
 
 
-def flash_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
-) -> jax.Array:
-    """q: (B, Sq, H, D), k/v: (B, Sk, H, D) -> (B, Sq, H, D)."""
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
+def _flash_fwd_impl(q, k, v, scale: float):
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    if not supported(sq, sk, d):
-        raise ValueError(f"flash_attention unsupported shape {(sq, sk, d)}")
 
     def to_bhsd(x, s):
         if h == 1:
@@ -133,3 +126,41 @@ def flash_attention(
     if h == 1:
         return out.reshape(b, sq, 1, d)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_diff(q, k, v, scale: float):
+    return _flash_fwd_impl(q, k, v, scale)
+
+
+def _flash_diff_fwd(q, k, v, scale):
+    return _flash_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _flash_diff_bwd(scale, res, g):
+    """Backward via XLA recompute: correct gradients, dense logits in the
+    backward pass only (training at <=4800 tokens fits; the kernel's memory
+    win matters for the inference-heavy 9216-token path). A dedicated
+    Pallas backward kernel can replace this transparently later."""
+    from genpercept_tpu.ops.attention import _xla_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
+) -> jax.Array:
+    """q: (B, Sq, H, D), k/v: (B, Sk, H, D) -> (B, Sq, H, D). Differentiable
+    (flash forward; recomputed dense backward)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if not supported(sq, sk, d):
+        raise ValueError(f"flash_attention unsupported shape {(sq, sk, d)}")
+    return _flash_diff(q, k, v, scale)

@@ -71,6 +71,9 @@ class TrainConfig:
     lr_warmup_steps: int = 100
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    # bf16 first moment halves optimizer HBM (v5e has 16 GB vs the
+    # reference's 80 GB H100s); second moment stays fp32
+    adam_mu_dtype: Optional[Any] = None
     grad_accum_steps: int = 1
     train_unet: bool = True
     train_dpt_head: bool = True
@@ -309,7 +312,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     sched = iter_exponential_schedule(
         cfg.lr, cfg.lr_total_iter_length, cfg.lr_final_ratio, cfg.lr_warmup_steps
     )
-    return optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2)
+    return optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                      mu_dtype=cfg.adam_mu_dtype)
 
 
 def init_train_state(params: Dict, cfg: TrainConfig, rng=None):
