@@ -147,6 +147,9 @@ def main(argv=None):
         unet_lora_rank=cfg.get_path("model.unet_lora_rank"),
         multi_res_noise_strength=(mrn or {}).get("strength"),
         multi_res_noise_annealed=(mrn or {}).get("annealed", False),
+        remat_unet=cfg.get_path("model.remat_unet", True),
+        adam_mu_dtype=jnp.bfloat16
+        if cfg.get_path("optimizer.mu_dtype") == "bf16" else None,
         compute_dtype=jnp.bfloat16
         if cfg.get_path("mixed_precision") == "bf16" else jnp.float32,
     )

@@ -33,7 +33,8 @@ def _pick_block(s: int, cap: int, candidates=(1024, 768, 512, 384, 256, 128, 64)
     return None
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                  *, scale):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -63,19 +64,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
-    """qh: (BH, Sq, D); kh/vh: (BH, Sk, D)."""
-    bh, sq, d = qh.shape
-    sk = kh.shape[1]
+def _blocks(sq: int, sk: int, d: int):
     # VMEM budget: q + out + 2*(k,v) blocks + fp32 acc + logits; cap blocks
     # so the working set stays well under ~8 MB with double buffering.
     q_cap = 512 if d <= 128 else 256
     k_cap = 1024 if d <= 128 else 512
-    q_blk = _pick_block(sq, q_cap)
-    k_blk = _pick_block(sk, k_cap)
+    return _pick_block(sq, q_cap), _pick_block(sk, k_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
+    """qh: (BH, Sq, D); kh/vh: (BH, Sk, D) -> (out, logsumexp)."""
+    bh, sq, d = qh.shape
+    sk = kh.shape[1]
+    q_blk, k_blk = _blocks(sq, sk, d)
     grid = (bh, sq // q_blk, sk // k_blk)
     kernel = functools.partial(_flash_kernel, scale=scale)
     return pl.pallas_call(
@@ -89,9 +94,16 @@ def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
             pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
+        out_specs=(
+            pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, 1), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
+            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((q_blk, 1), jnp.float32),  # running max
             pltpu.VMEM((q_blk, 1), jnp.float32),  # running denominator
@@ -101,6 +113,132 @@ def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qh, kh, vh)
+
+
+# ------------------------------------------------------------- backward
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                         dq_ref, acc_ref, *, scale):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0]  # (q_blk,)
+    dsum = dsum_ref[0][:, 0]
+
+    s = scale * jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dsum[:, None]) * scale
+    acc_ref[:] = acc_ref[:] + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, 0]
+    dsum = dsum_ref[0][:, 0]
+
+    # (k_blk, q_blk) transposed score block
+    st = scale * jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    pt = jnp.exp(st - lse[None, :])
+    dv_acc[:] = dv_acc[:] + jnp.dot(pt, do, preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dst = pt * (dpt - dsum[None, :]) * scale
+    dk_acc[:] = dk_acc[:] + jnp.dot(dst, q, preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_bwd_bhsd(qh, kh, vh, oh, do, lse, scale: float):
+    bh, sq, d = qh.shape
+    sk = kh.shape[1]
+    q_blk, k_blk = _blocks(sq, sk, d)
+    dsum = jnp.sum(do.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1,
+                   keepdims=True)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(bh, sq // q_blk, sk // k_blk),
+        in_specs=[
+            pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, 1), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, 1), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
+        scratch_shapes=[pltpu.VMEM((q_blk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qh, kh, vh, do, lse, dsum)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(bh, sk // k_blk, sq // q_blk),
+        in_specs=[
+            pl.BlockSpec((1, q_blk, d), lambda b, ki, qi: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, ki, qi: (b, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, ki, qi: (b, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, d), lambda b, ki, qi: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, 1), lambda b, ki, qi: (b, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, 1), lambda b, ki, qi: (b, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_blk, d), lambda b, ki, qi: (b, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, ki, qi: (b, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sk, d), kh.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), vh.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k_blk, d), jnp.float32),
+            pltpu.VMEM((k_blk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qh, kh, vh, do, lse, dsum)
+    return dq, dk, dv
 
 
 def supported(sq: int, sk: int, d: int) -> bool:
@@ -113,40 +251,55 @@ def supported(sq: int, sk: int, d: int) -> bool:
     )
 
 
+def _to_bhsd(x, b, s, h, d):
+    if h == 1:
+        return x.reshape(b, s, d)
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from_bhsd(x, b, s, h, d):
+    if h == 1:
+        return x.reshape(b, s, 1, d)
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
 def _flash_fwd_impl(q, k, v, scale: float):
     b, sq, h, d = q.shape
     sk = k.shape[1]
-
-    def to_bhsd(x, s):
-        if h == 1:
-            return x.reshape(b, s, d)
-        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-
-    out = _flash_bhsd(to_bhsd(q, sq), to_bhsd(k, sk), to_bhsd(v, sk), scale)
-    if h == 1:
-        return out.reshape(b, sq, 1, d)
-    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    out, lse = _flash_bhsd(
+        _to_bhsd(q, b, sq, h, d), _to_bhsd(k, b, sk, h, d),
+        _to_bhsd(v, b, sk, h, d), scale,
+    )
+    return _from_bhsd(out, b, sq, h, d), lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_diff(q, k, v, scale: float):
-    return _flash_fwd_impl(q, k, v, scale)
+    return _flash_fwd_impl(q, k, v, scale)[0]
 
 
 def _flash_diff_fwd(q, k, v, scale):
-    return _flash_fwd_impl(q, k, v, scale), (q, k, v)
+    out, lse = _flash_fwd_impl(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_diff_bwd(scale, res, g):
-    """Backward via XLA recompute: correct gradients, dense logits in the
-    backward pass only (training at <=4800 tokens fits; the kernel's memory
-    win matters for the inference-heavy 9216-token path). A dedicated
-    Pallas backward kernel can replace this transparently later."""
-    from genpercept_tpu.ops.attention import _xla_attention
-
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
-    return vjp(g)
+    """Flash backward as two Pallas passes (dq; dk+dv), using the saved
+    logsumexp — the (Sq x Sk) probability matrix never materializes in HBM
+    in either direction."""
+    q, k, v, out, lse = res
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    dq, dk, dv = _flash_bwd_bhsd(
+        _to_bhsd(q, b, sq, h, d), _to_bhsd(k, b, sk, h, d),
+        _to_bhsd(v, b, sk, h, d), _to_bhsd(out, b, sq, h, d),
+        _to_bhsd(g, b, sq, h, d), lse, scale,
+    )
+    return (
+        _from_bhsd(dq, b, sq, h, d),
+        _from_bhsd(dk, b, sk, h, d),
+        _from_bhsd(dv, b, sk, h, d),
+    )
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
