@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (TPU-native half precision)")
     p.add_argument("--fix_timesteps", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="0 = single-image loop (reference behavior); >0 or -1"
+                        " = batched device inference (-1: auto from oracle)")
     return p
 
 
@@ -85,15 +88,12 @@ def main(argv=None):
     import jax
 
     rng = jax.random.key(args.seed) if args.seed is not None else None
-    for path in rgb_paths:
-        image = np.asarray(Image.open(path).convert("RGB"))
-        out = pipe(image, rng=rng)
 
+    def save_one(path, out):
         rel_dir = osp.dirname(osp.relpath(path, args.input_rgb_dir))
         out_dir = osp.join(args.output_dir, rel_dir)
         os.makedirs(out_dir, exist_ok=True)
         base = osp.splitext(osp.basename(path))[0] + "_pred"
-
         np.save(osp.join(out_dir, base + ".npy"), out.pred_np)
         if args.mode == "depth":  # 16-bit png (run.py:451-456)
             png = (out.pred_np * 65535.0).astype(np.uint16)
@@ -106,6 +106,16 @@ def main(argv=None):
                 osp.join(out_dir, base + "_colored.png")
             )
         logging.info(f"saved {base} -> {out_dir}")
+
+    if args.batch_size != 0 and args.archs == "genpercept":
+        images = [np.asarray(Image.open(p).convert("RGB")) for p in rgb_paths]
+        outs = pipe.batch(images, batch_size=max(args.batch_size, 0))
+        for path, out in zip(rgb_paths, outs):
+            save_one(path, out)
+    else:
+        for path in rgb_paths:
+            image = np.asarray(Image.open(path).convert("RGB"))
+            save_one(path, pipe(image, rng=rng))
 
 
 if __name__ == "__main__":

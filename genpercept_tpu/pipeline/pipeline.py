@@ -277,3 +277,66 @@ class GenPerceptPipeline:
 
         pred_np = np.asarray(pred[0])
         return GenPerceptOutput(pred_np=pred_np, pred_colored=colored)
+
+    def batch(
+        self,
+        images: list,
+        batch_size: int = 0,
+        color_map: Optional[str] = "auto",
+    ) -> list:
+        """Batched inference over a list of (H, W, 3) arrays: images are
+        resized to the processing resolution, grouped into device batches
+        (size from the v5e oracle when batch_size=0), run through ONE jitted
+        program per batch, then resized back individually. This is where the
+        TPU throughput win lands for folder-scale workloads (the reference
+        loops images singly, run.py:403)."""
+        from genpercept_tpu.utils.batchsize import find_batch_size
+
+        cfg = self.cfg
+        assert cfg.processing_res > 0, "batched mode needs a fixed processing res"
+        if batch_size <= 0:
+            dtype_name = "bfloat16" if cfg.dtype == jnp.bfloat16 else "float32"
+            batch_size = find_batch_size(cfg.ensemble_size, cfg.processing_res,
+                                         dtype_name)
+
+        # common processing shape: long side = processing_res, square pad-free
+        # grouping requires same aspect; group by resized shape
+        groups: Dict[tuple, list] = {}
+        metas = []
+        for idx, image in enumerate(images):
+            if image.dtype == np.uint8:
+                image = image.astype(np.float32) / 255.0
+            h, w = image.shape[:2]
+            ph, pw = max_res_shape(h, w, cfg.processing_res)
+            groups.setdefault((ph, pw), []).append((idx, image, (h, w)))
+            metas.append(None)
+
+        results: list = [None] * len(images)
+        for (ph, pw), items in groups.items():
+            for start in range(0, len(items), batch_size):
+                chunk = items[start : start + batch_size]
+                x = jnp.stack([
+                    resize(jnp.asarray(im)[None], (ph, pw),
+                           cfg.resample_method, antialias=True)[0]
+                    for _, im, _ in chunk
+                ])
+                preds = self._infer(self._params, x)
+                preds = jnp.clip(preds, 0.0, 1.0)
+                for bi, (idx, _, (h, w)) in enumerate(chunk):
+                    pred = preds[bi : bi + 1]
+                    if cfg.match_input_res and pred.shape[1:3] != (h, w):
+                        if pred.ndim == 3:
+                            pred = resize(pred[..., None], (h, w),
+                                          cfg.resample_method)[..., 0]
+                        else:
+                            pred = resize(pred, (h, w), cfg.resample_method)
+                    cm = cfg.task.color_map if color_map == "auto" else color_map
+                    colored = None
+                    if cm is not None and pred.ndim == 3:
+                        colored = np.asarray(
+                            (colorize_depth(pred[0]) * 255).astype(jnp.uint8)
+                        )
+                    results[idx] = GenPerceptOutput(
+                        pred_np=np.asarray(pred[0]), pred_colored=colored
+                    )
+        return results
