@@ -38,6 +38,9 @@ class CLIPTextConfig:
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
     hidden_act: str = "gelu"  # SD2.1; SD1.x uses quick_gelu
+    bos_token_id: int = BOS_TOKEN_ID
+    eos_token_id: int = EOS_TOKEN_ID
+    pad_token_id: int = SD21_PAD_TOKEN_ID
 
 
 SD21_CLIP_TEXT = CLIPTextConfig()
@@ -45,7 +48,7 @@ SD21_CLIP_TEXT = CLIPTextConfig()
 
 def empty_prompt_ids(cfg: CLIPTextConfig = SD21_CLIP_TEXT) -> jnp.ndarray:
     """Token ids of "" : [BOS, EOS, PAD...], shape (1, 77)."""
-    ids = [BOS_TOKEN_ID, EOS_TOKEN_ID] + [SD21_PAD_TOKEN_ID] * (
+    ids = [cfg.bos_token_id, cfg.eos_token_id] + [cfg.pad_token_id] * (
         cfg.max_position_embeddings - 2
     )
     return jnp.asarray([ids], dtype=jnp.int32)

@@ -108,7 +108,6 @@ def test_flash_attention_matches_xla():
     k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
 
-    import unittest.mock as mock
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
