@@ -36,36 +36,49 @@ def main():
     single_infer = build_single_infer(models, cfg)
     params = models.params()
 
-    n_iters = 5 if on_tpu else 1
+    n_hi, n_lo = (8, 2) if on_tpu else (2, 1)
 
-    # NOTE: timing loops INSIDE one XLA program with a scalar fetch at the
-    # end: under the axon tunnel jax.block_until_ready() does not actually
-    # synchronize, and every dispatch costs ~30 ms of relay latency, so
-    # host-side per-call timing is meaningless.
-    def run_n(params, rgb):
-        def body(i, acc):
-            out = single_infer(params, rgb)
-            return acc + jnp.sum(out)
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+    # NOTE on methodology: (a) loops run INSIDE one XLA program with a scalar
+    # fetch at the end — under the axon tunnel jax.block_until_ready() does
+    # not synchronize and every dispatch costs ~30 ms of relay latency; (b) the
+    # loop body carries a data dependency (the output feeds an epsilon back
+    # into the input), otherwise XLA hoists the loop-invariant pipeline call
+    # and the measurement is ~5x too fast; (c) the reported time is the
+    # MARGINAL cost per iteration between two loop lengths, which cancels
+    # the one-off dispatch/warmup overhead.
+    import functools
 
-    run = jax.jit(run_n)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(params, rgb, n):
+        def body(i, carry):
+            acc, x = carry
+            out = single_infer(params, x)
+            s = jnp.sum(out)
+            x = x * (1.0 + s * 1e-30)  # numerically a no-op; defeats hoisting
+            return (acc + s, x)
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), rgb))[0]
 
     while True:
         rgb = jax.random.uniform(
             jax.random.key(1), (batch, res, res, 3), jnp.float32
         )
         try:
-            float(run(params, rgb))  # compile + warmup + full sync
+            float(run_n(params, rgb, n_lo))  # compile + warmup + full sync
             break
         except Exception:  # OOM: halve the batch and retry
             if batch == 1:
                 raise
             batch = max(batch // 2, 1)
 
+    float(run_n(params, rgb, n_hi))  # compile the long loop too
     t0 = time.perf_counter()
-    s = float(run(params, rgb))
-    dt = (time.perf_counter() - t0) / n_iters
-    assert s == s, "NaN in benchmark output"
+    s_lo = float(run_n(params, rgb, n_lo))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s_hi = float(run_n(params, rgb, n_hi))
+    t_hi = time.perf_counter() - t0
+    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    assert s_lo == s_lo and s_hi == s_hi, "NaN in benchmark output"
 
     img_per_s = batch / dt
     print(
