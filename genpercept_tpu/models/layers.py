@@ -99,11 +99,14 @@ def init_downsample(key, c: int) -> Params:
 
 
 def downsample2d(p: Params, x: jax.Array, asymmetric_pad: bool = False) -> jax.Array:
-    """Stride-2 conv. The VAE encoder pads (0,1,0,1) asymmetrically with
-    padding=0; the UNet uses symmetric padding=1."""
+    """Stride-2 conv. The VAE encoder pads (0,1,0,1) asymmetrically (folded
+    into the conv's padding argument — an explicit jnp.pad would copy the
+    full tensor); the UNet uses symmetric padding=1."""
     if asymmetric_pad:
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-        return conv(p["conv"], x, stride=2, padding=0)
+        from genpercept_tpu.ops.conv import conv2d
+
+        return conv2d(x, p["conv"]["weight"], p["conv"].get("bias"),
+                      stride=2, padding=((0, 1), (0, 1)))
     return conv(p["conv"], x, stride=2, padding=1)
 
 

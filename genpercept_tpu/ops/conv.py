@@ -25,6 +25,8 @@ def conv2d(
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    elif isinstance(padding, tuple) and padding and isinstance(padding[0], tuple):
+        padding = list(padding)  # explicit ((top,bottom),(left,right))
     elif isinstance(padding, tuple):
         padding = [padding, padding]
     # NOTE: no preferred_element_type here — bf16 convs accumulate in fp32

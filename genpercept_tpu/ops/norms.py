@@ -18,19 +18,37 @@ def group_norm(
     num_groups: int = 32,
     eps: float = 1e-5,
 ) -> jax.Array:
-    """x: (..., H, W, C) NHWC. scale/bias: (C,). Stats in fp32."""
+    """x: (..., H, W, C) NHWC. scale/bias: (C,). Stats in fp32.
+
+    TPU-friendly formulation: group stats are computed by summing per-channel
+    sums into groups (a (C,) -> (G,) segment reduction), and normalization
+    happens in the native NHWC layout with per-channel broadcast factors —
+    no reshape to (..., G, C/G), whose 4-wide lane dimension thrashes the
+    (8, 128) vector layout."""
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
-    spatial = x.shape[1:-1]
     g = num_groups
     cg = c // g
-    xf = x.astype(jnp.float32).reshape(n, -1, g, cg)  # (N, S, G, Cg)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape((n,) + spatial + (c,))
-    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    count = (x.size // (n * c)) * cg
+
+    xf = x.astype(jnp.float32)
+    reduce_axes = tuple(range(1, x.ndim - 1))
+    sum_c = jnp.sum(xf, axis=reduce_axes)  # (N, C)
+    sumsq_c = jnp.sum(xf * xf, axis=reduce_axes)
+    sum_g = jnp.sum(sum_c.reshape(n, g, cg), axis=-1)  # (N, G)
+    sumsq_g = jnp.sum(sumsq_c.reshape(n, g, cg), axis=-1)
+    mean_g = sum_g / count
+    var_g = sumsq_g / count - mean_g * mean_g
+
+    inv_g = jax.lax.rsqrt(var_g + eps)  # (N, G)
+    # per-channel affine folded with the group stats: y = x*a + b
+    inv_c = jnp.repeat(inv_g, cg, axis=-1)  # (N, C)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)
+    a = inv_c * scale.astype(jnp.float32)[None]
+    b = bias.astype(jnp.float32)[None] - mean_c * a
+    bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    out = xf * a.reshape(bshape) + b.reshape(bshape)
     return out.astype(orig_dtype)
 
 
