@@ -57,8 +57,11 @@ def main(argv=None):
         item = dataset[i]
         gt = np.asarray(item["depth_raw_linear"], np.float64)
         valid = np.asarray(item["valid_mask_raw"]).astype(bool)
-        rgb_base = osp.basename(item["rgb_relative_path"])
-        pred_name = get_pred_name(rgb_base, dataset.name_mode, ".npy")
+        # Same relative layout cli.infer writes: dirname(rgb)/pred_name
+        # (reference eval.py:156-162) — avoids basename collisions (KITTI).
+        rgb_rel = item["rgb_relative_path"]
+        pred_base = get_pred_name(osp.basename(rgb_rel), dataset.name_mode, ".npy")
+        pred_name = osp.join(osp.dirname(rgb_rel), pred_base)
         pred_path = osp.join(args.prediction_dir, pred_name)
         if not osp.exists(pred_path):
             logging.warning(f"missing prediction: {pred_path}")
@@ -73,11 +76,14 @@ def main(argv=None):
                 gt, pred, valid, max_resolution=args.alignment_max_res
             )
         elif args.alignment == "least_square_disparity":
+            # Mask includes pred>0 and the aligned disparity clips at 1e-3,
+            # matching the reference protocol (eval.py:177-197).
             gt_disp, nonneg = depth2disparity(gt, return_mask=True)
             pred_disp, _, _ = align_depth_least_square(
-                gt_disp, pred, valid & nonneg, max_resolution=args.alignment_max_res
+                gt_disp, pred, valid & nonneg & (pred > 0),
+                max_resolution=args.alignment_max_res,
             )
-            pred = disparity2depth(np.clip(pred_disp, 1e-6, None))
+            pred = disparity2depth(np.clip(pred_disp, 1e-3, None))
 
         # clip to dataset range (eval.py:199-205)
         pred = np.clip(pred, dataset.min_depth, dataset.max_depth)

@@ -73,11 +73,13 @@ def main(argv=None):
         item = dataset[i]
         rgb01 = (np.asarray(item["rgb_norm"]) + 1.0) / 2.0
         out = pipe((rgb01 * 255).astype(np.uint8), rng=rng, color_map=None)
-        pred_name = get_pred_name(
-            osp.basename(item["rgb_relative_path"]), dataset.name_mode, ".npy"
-        )
-        save_to = osp.join(args.output_dir, pred_name)
-        np.save(save_to, out.pred_np)
+        # Preserve the dirname of the relative rgb path — KITTI eigen has
+        # duplicate basenames across drives (reference infer.py:435-447).
+        rgb_rel = item["rgb_relative_path"]
+        pred_name = get_pred_name(osp.basename(rgb_rel), dataset.name_mode, ".npy")
+        scene_dir = osp.join(args.output_dir, osp.dirname(rgb_rel))
+        os.makedirs(scene_dir, exist_ok=True)
+        np.save(osp.join(scene_dir, pred_name), out.pred_np)
         if (i + 1) % 25 == 0:
             logging.info(f"{i+1}/{len(dataset)}")
     logging.info(f"predictions saved to {args.output_dir}")

@@ -41,11 +41,13 @@ def build_eval_step(models, pipe_cfg: PipelineConfig, min_depth: float,
         if alignment == "least_square":
             pred, _, _ = align_depth_least_square_jax(gt, pred, valid)
         elif alignment == "least_square_disparity":
+            # mask includes pred>0; aligned disparity clips at 1e-3
+            # (reference eval.py:177-197)
             gt_disp = jnp.where(gt > 0, 1.0 / jnp.maximum(gt, 1e-8), 0.0)
             aligned, _, _ = align_depth_least_square_jax(
-                gt_disp, pred, valid & (gt > 0)
+                gt_disp, pred, valid & (gt > 0) & (pred > 0)
             )
-            pred = 1.0 / jnp.clip(aligned, 1e-6, None)
+            pred = 1.0 / jnp.clip(aligned, 1e-3, None)
         pred = jnp.clip(pred, min_depth, max_d)
         pred = jnp.clip(pred, 1e-6, None)
         out = {
@@ -77,7 +79,7 @@ def evaluate_dataset(
     params = models.params()
 
     totals: Dict[str, float] = {k: 0.0 for k in METRIC_FUNCS}
-    n_batches = 0
+    n_samples = 0
     n = min(len(dataset), limit) if limit else len(dataset)
     buf = []
     for i in range(n):
@@ -98,8 +100,12 @@ def evaluate_dataset(
                     (rgb01, gt, valid), batch_sharding(mesh)
                 )
         out = step(params, rgb01, gt, valid)
+        # weight each batch by its sample count so a smaller final batch is
+        # not over-weighted (matches the reference's per-sample MetricTracker
+        # averaging, metric.py:10-31)
+        bsz = len(buf)
         for k, v in out.items():
-            totals[k] += float(v)
-        n_batches += 1
+            totals[k] += float(v) * bsz
+        n_samples += bsz
         buf = []
-    return {k: v / max(n_batches, 1) for k, v in totals.items()}
+    return {k: v / max(n_samples, 1) for k, v in totals.items()}

@@ -39,7 +39,10 @@ def group_norm(
     sum_g = jnp.sum(sum_c.reshape(n, g, cg), axis=-1)  # (N, G)
     sumsq_g = jnp.sum(sumsq_c.reshape(n, g, cg), axis=-1)
     mean_g = sum_g / count
-    var_g = sumsq_g / count - mean_g * mean_g
+    # clamp: one-pass E[x^2]-mean^2 can go slightly negative in fp32 via
+    # catastrophic cancellation (~590k-element sums at 768^2), which would
+    # make rsqrt(var+eps) NaN
+    var_g = jnp.maximum(sumsq_g / count - mean_g * mean_g, 0.0)
 
     inv_g = jax.lax.rsqrt(var_g + eps)  # (N, G)
     # per-channel affine folded with the group stats: y = x*a + b

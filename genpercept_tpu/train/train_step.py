@@ -135,7 +135,10 @@ def build_loss_fn(cfg: TrainConfig, models):
         _unet_feats = jax.checkpoint(_unet_feats)
 
     def loss_fn(trainable: Dict, frozen: Dict, batch: Dict, rng) -> Tuple[jax.Array, Dict]:
-        params = {**frozen, **trainable}
+        # subtree-wise merge: with train_vae_decoder the trainable "vae" is
+        # only {decoder, post_quant_conv} and a flat {**frozen, **trainable}
+        # would drop the frozen encoder
+        params = merge_vae(trainable, frozen)
         if "unet_lora" in trainable:
             from genpercept_tpu.train.lora import apply_lora
 
@@ -330,34 +333,41 @@ def build_train_step(cfg: TrainConfig, models, tx: optax.GradientTransformation)
     With grad_accum_steps > 1 the batch's leading axis must be
     (accum, micro_batch, ...) and grads accumulate through a lax.scan.
     """
-    raw_loss = build_loss_fn(cfg, models)
-
-    def loss_fn(trainable, frozen, batch, rng):
-        return raw_loss(trainable, merge_vae(trainable, frozen), batch, rng)
-
+    loss_fn = build_loss_fn(cfg, models)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(trainable, frozen, opt_state, batch, rng):
         if cfg.grad_accum_steps > 1:
+            rngs = jax.random.split(rng, cfg.grad_accum_steps)
+
             def accum(carry, xs):
-                grads_acc, loss_acc = carry
+                grads_acc, loss_acc, aux_acc = carry
                 micro_batch, micro_rng = xs
-                (loss, _), grads = grad_fn(trainable, frozen, micro_batch, micro_rng)
+                (loss, aux), grads = grad_fn(trainable, frozen, micro_batch, micro_rng)
                 grads_acc = jax.tree.map(
                     lambda a, g: a + g.astype(jnp.float32), grads_acc, grads
                 )
-                return (grads_acc, loss_acc + loss), None
+                aux_acc = jax.tree.map(
+                    lambda a, v: a + v.astype(jnp.float32), aux_acc, aux
+                )
+                return (grads_acc, loss_acc + loss, aux_acc), None
 
             zero = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), trainable
             )
-            rngs = jax.random.split(rng, cfg.grad_accum_steps)
-            (grads, loss), _ = jax.lax.scan(
-                accum, (zero, jnp.float32(0.0)), (batch, rngs)
+            # per-loss aux survives accumulation (the reference logs each
+            # component; genpercept_trainer.py:845-863)
+            micro0 = jax.tree.map(lambda x: x[0], batch)
+            aux_sd = jax.eval_shape(grad_fn, trainable, frozen, micro0, rngs[0])[0][1]
+            zero_aux = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, jnp.float32), aux_sd
+            )
+            (grads, loss, aux), _ = jax.lax.scan(
+                accum, (zero, jnp.float32(0.0), zero_aux), (batch, rngs)
             )
             grads = jax.tree.map(lambda g: g / cfg.grad_accum_steps, grads)
             loss = loss / cfg.grad_accum_steps
-            aux = {}
+            aux = jax.tree.map(lambda a: a / cfg.grad_accum_steps, aux)
         else:
             (loss, aux), grads = grad_fn(trainable, frozen, batch, rng)
 

@@ -156,3 +156,48 @@ def test_train_step_sharded_dp():
     step = jax.jit(build_train_step(cfg, models, tx))
     trainable, opt_state, metrics = step(trainable, frozen, opt_state, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_step_vae_decoder_trainable():
+    """train_vae_decoder=True must run end-to-end: the partial trainable vae
+    subtree (decoder+post_quant_conv) merges subtree-wise with the frozen
+    encoder (reference genpercept_trainer.py:176-244 trainability matrix)."""
+    models = tiny_models()
+    cfg = TrainConfig(
+        loss_names=("mse",), fix_timesteps=1, lr=1e-3,
+        lr_warmup_steps=0, lr_total_iter_length=10, lr_final_ratio=1.0,
+        train_unet=False, train_dpt_head=False, train_vae_decoder=True,
+    )
+    params = models.params()
+    trainable, frozen, tx, opt_state = init_train_state(params, cfg)
+    assert set(trainable) == {"vae"}
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), trainable)
+    step = jax.jit(build_train_step(cfg, models, tx))
+    batch = make_batch()
+    trainable, opt_state, metrics = step(
+        trainable, frozen, opt_state, batch, jax.random.key(0)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # decoder params actually moved
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(trainable))
+    )
+    assert moved
+
+
+def test_grad_accum_keeps_per_loss_aux():
+    """accum>1 must still log each loss component (reference logs each;
+    genpercept_trainer.py:845-863)."""
+    models = tiny_models()
+    cfg = TrainConfig(
+        loss_names=("mse", "ssi", "grad"), fix_timesteps=1, grad_accum_steps=2,
+    )
+    params = models.params()
+    trainable, frozen, tx, opt_state = init_train_state(params, cfg)
+    step = jax.jit(build_train_step(cfg, models, tx))
+    batch = make_batch(b=2)
+    micro = jax.tree.map(lambda x: x.reshape((2, 1) + x.shape[1:]), batch)
+    _, _, metrics = step(trainable, frozen, opt_state, micro, jax.random.key(0))
+    for k in ("loss", "mse", "ssi", "grad"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
