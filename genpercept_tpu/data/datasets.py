@@ -79,6 +79,12 @@ class BaseDataset:
     max_depth = 1e8
     has_filled_depth = False
     name_mode = PredNameMode.id
+    # Known camera geometry: (fx, fy, cx, cy) at NATIVE_HW. Emitted as a 3x3
+    # K per TRAIN sample for the metric3d losses (VNL back-projects depth
+    # with intrinsics; reference consumes batch['intrinsic'] at
+    # genpercept_trainer.py:776-780 but no reference dataset ever emits it).
+    INTRINSIC = None
+    NATIVE_HW = None
 
     def __init__(
         self,
@@ -201,8 +207,26 @@ class BaseDataset:
                 )
                 rasters["valid_mask_raw_seg"] = (rasters["seg_raw_linear"] != -1).any(-1)
 
+        if self.mode == DatasetMode.TRAIN:
+            intrinsic = self._intrinsic_for(hw)
+            if intrinsic is not None:
+                rasters["intrinsic"] = intrinsic
+
         other = {"index": index, "rgb_relative_path": rgb_p}
         return rasters, other
+
+    def _intrinsic_for(self, hw) -> Optional[np.ndarray]:
+        """3x3 camera K at raster resolution `hw`, scaled from NATIVE_HW."""
+        if self.INTRINSIC is None:
+            return None
+        fx, fy, cx, cy = self.INTRINSIC
+        if self.NATIVE_HW is not None and tuple(hw) != tuple(self.NATIVE_HW):
+            sy = hw[0] / self.NATIVE_HW[0]
+            sx = hw[1] / self.NATIVE_HW[1]
+            fx, cx, fy, cy = fx * sx, cx * sx, fy * sy, cy * sy
+        return np.array(
+            [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32
+        )
 
     def _load_rgb_data(self, rgb_rel_path):
         rgb = self._read_image(rgb_rel_path)  # (H, W, 3) uint8
@@ -316,10 +340,17 @@ class BaseDataset:
             )
 
         if self.resize_to_hw is not None:
+            src_hw = rasters["rgb_norm"].shape[:2]
             for k, v in rasters.items():
+                if k == "intrinsic":  # scale K, don't raster-resize it
+                    sy = self.resize_to_hw[0] / src_hw[0]
+                    sx = self.resize_to_hw[1] / src_hw[1]
+                    rasters[k] = v * np.array(
+                        [[sx, 1, sx], [1, sy, sy], [1, 1, 1]], np.float32
+                    )
                 # bilinear for matting/dis, nearest-exact otherwise
                 # (base_dataset.py:498-511)
-                if ("matting" in k or "dis" in k) and v.dtype != bool:
+                elif ("matting" in k or "dis" in k) and v.dtype != bool:
                     rasters[k] = _bilinear_np(v, self.resize_to_hw)
                 else:
                     rasters[k] = _nearest_exact_np(v, self.resize_to_hw)
@@ -327,10 +358,18 @@ class BaseDataset:
 
     def _augment_data(self, rasters):
         if self.rng.random() < getattr(self.augm_args, "lr_flip_p", 0.5):
-            rasters = {k: np.ascontiguousarray(v[:, ::-1]) if v.ndim >= 2 else v
-                       for k, v in rasters.items()}
+            rasters = {
+                k: np.ascontiguousarray(v[:, ::-1])
+                if (v.ndim >= 2 and k != "intrinsic") else v
+                for k, v in rasters.items()
+            }
             if "normal_raw_linear" in rasters:
                 rasters["normal_raw_linear"][..., 0] *= -1
+            if "intrinsic" in rasters:  # mirrored principal point
+                w = rasters["rgb_norm"].shape[1]
+                k3 = rasters["intrinsic"].copy()
+                k3[0, 2] = (w - 1) - k3[0, 2]
+                rasters["intrinsic"] = k3
         return rasters
 
     def __del__(self):
@@ -348,6 +387,22 @@ class KITTIDataset(BaseDataset):
     max_depth = 80
     name_mode = PredNameMode.id
     KB_CROP = (352, 1216)
+    # KITTI eigen-split camera (fx, fy, cx, cy) at the typical 375x1242
+    # raster; KB_INTRINSIC is shifted for the 352x1216 benchmark crop
+    # (top = 375-352 = 23, left = 13)
+    INTRINSIC = (721.5377, 721.5377, 609.5593, 172.854)
+    NATIVE_HW = (375, 1242)
+    KB_INTRINSIC = (721.5377, 721.5377, 596.5593, 149.854)
+
+    def _intrinsic_for(self, hw):
+        if self.kitti_bm_crop:
+            fx, fy, cx, cy = self.KB_INTRINSIC
+            sy, sx = hw[0] / self.KB_CROP[0], hw[1] / self.KB_CROP[1]
+            return np.array(
+                [[fx * sx, 0, cx * sx], [0, fy * sy, cy * sy], [0, 0, 1]],
+                np.float32,
+            )
+        return super()._intrinsic_for(hw)
 
     def __init__(self, kitti_bm_crop=True, valid_mask_crop="garg", **kwargs):
         super().__init__(**kwargs)
@@ -399,6 +454,9 @@ class VirtualKITTIDataset(KITTIDataset):
 
     min_depth = 1e-5
     max_depth = 80
+    INTRINSIC = (725.0087, 725.0087, 620.5, 187.0)  # vKITTI2 camera
+    NATIVE_HW = (375, 1242)
+    KB_INTRINSIC = (725.0087, 725.0087, 607.5, 164.0)
 
     def _read_depth_file(self, rel_path):
         d = BaseDataset._read_depth_file(self, rel_path)
@@ -413,6 +471,8 @@ class NYUDataset(BaseDataset):
     max_depth = 10.0
     has_filled_depth = True
     name_mode = PredNameMode.rgb_id
+    INTRINSIC = (518.8579, 519.46961, 325.58245, 253.73617)  # Kinect v1
+    NATIVE_HW = (480, 640)
 
     def __init__(self, eigen_valid_mask=True, **kwargs):
         super().__init__(**kwargs)
@@ -437,6 +497,8 @@ class HypersimDataset(BaseDataset):
     min_depth = 1e-5
     max_depth = 65.0
     name_mode = PredNameMode.rgb_i_d
+    INTRINSIC = (886.81, 886.81, 512.0, 384.0)  # Hypersim pinhole @1024x768
+    NATIVE_HW = (768, 1024)
 
     def _read_depth_file(self, rel_path):
         d = super()._read_depth_file(rel_path)
@@ -467,6 +529,8 @@ class ScanNetDataset(BaseDataset):
     min_depth = 1e-3
     max_depth = 10.0
     name_mode = PredNameMode.id
+    INTRINSIC = (577.87, 577.87, 319.5, 239.5)  # ScanNet color camera
+    NATIVE_HW = (480, 640)
 
     def _read_depth_file(self, rel_path):
         d = super()._read_depth_file(rel_path)

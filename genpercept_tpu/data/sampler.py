@@ -86,6 +86,12 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
     for k in samples[0]:
         vals = [s[k] for s in samples]
         if isinstance(vals[0], np.ndarray):
+            if any(v.shape != vals[0].shape for v in vals[1:]):
+                raise ValueError(
+                    f"collate: mixed raster shapes for '{k}' "
+                    f"({sorted({v.shape for v in vals})}); use batch_size=1 "
+                    "for variable-size datasets"
+                )
             out[k] = np.stack(vals)
         elif isinstance(vals[0], (int, float, bool, np.integer, np.floating)):
             out[k] = np.asarray(vals)
@@ -106,12 +112,22 @@ class DataLoader:
         return len(self.batch_sampler)
 
     def __iter__(self):
+        return self.iter_skipping(0)
+
+    def iter_skipping(self, skip_n: int):
+        """Iterate, dropping the first `skip_n` batches at the INDEX level:
+        the sampler stream is consumed (keeping seed-replay consistency) but
+        the dataset is never touched for skipped batches — no IO, no decode,
+        no collate (the reference's SkipBatchSampler semantics,
+        src/util/data_loader.py:24-68)."""
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
             try:
-                for batch_idx in self.batch_sampler:
+                for bi, batch_idx in enumerate(self.batch_sampler):
+                    if bi < skip_n:
+                        continue
                     q.put(collate([self.dataset[i] for i in batch_idx]))
             finally:
                 q.put(stop)
@@ -126,7 +142,11 @@ class DataLoader:
 
 
 def skip_first_batches(loader, n: int):
-    """Batch-exact resume (reference src/util/data_loader.py:70-114)."""
+    """Batch-exact resume (reference src/util/data_loader.py:70-114).
+    Index-level skip when the loader supports it; falls back to consuming
+    batches for plain iterables."""
+    if hasattr(loader, "iter_skipping"):
+        return loader.iter_skipping(n)
     it = iter(loader)
     for _ in range(n):
         next(it, None)

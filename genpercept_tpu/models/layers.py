@@ -120,7 +120,11 @@ def upsample2d(p: Params, x: jax.Array, out_hw: tuple | None = None) -> jax.Arra
     `forward_upsample_size` handling for latents not divisible by 8."""
     n, h, w, c = x.shape
     if out_hw is None or out_hw == (2 * h, 2 * w):
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        from genpercept_tpu.ops.conv import nearest_up2_conv3x3
+
+        return nearest_up2_conv3x3(
+            x, p["conv"]["weight"], p["conv"].get("bias")
+        )
     else:
         oh, ow = out_hw
         # torch F.interpolate mode='nearest': src = floor(i * in / out)

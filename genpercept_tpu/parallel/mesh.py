@@ -41,9 +41,11 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding for activations/inputs."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Batch-axis sharding for activations/inputs. batch_axis=1 for
+    grad-accum batches shaped (accum, micro_batch, ...)."""
+    spec = (None,) * batch_axis + ("data",)
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

@@ -44,6 +44,7 @@ GT_KEYS = {
     "dis": ("dis_raw_norm", "valid_mask_raw_dis"),
     "seg": ("seg_raw_norm", "valid_mask_raw_seg"),
     "disparity": ("depth_raw_norm", "valid_mask_raw"),
+    "disparity_dpt_head": ("depth_raw_norm", "valid_mask_raw"),
 }
 
 
@@ -117,10 +118,23 @@ class Trainer:
             "gt_norm": jnp.asarray(gt, jnp.float32),
             "valid_mask": jnp.asarray(mask.astype(bool)),
         }
+        if "intrinsic" in raw:
+            # camera K for metric3d losses (vnl); reference plumbs it at
+            # genpercept_trainer.py:776-780
+            batch["intrinsic"] = jnp.asarray(raw["intrinsic"], jnp.float32)
+        if self.cfg.grad_accum_steps > 1:
+            # loader yields (accum * micro, ...); the jitted step scans over
+            # a leading accum axis
+            a = self.cfg.grad_accum_steps
+            batch = {
+                k: v.reshape((a, v.shape[0] // a) + v.shape[1:])
+                for k, v in batch.items()
+            }
         if self.mesh is not None:
             from genpercept_tpu.parallel import batch_sharding
 
-            batch = jax.device_put(batch, batch_sharding(self.mesh))
+            axis = 1 if self.cfg.grad_accum_steps > 1 else 0
+            batch = jax.device_put(batch, batch_sharding(self.mesh, axis))
         return batch
 
     # --------------------------------------------------------------- train

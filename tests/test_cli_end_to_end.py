@@ -285,3 +285,55 @@ def test_config_include_merge(tmp_path):
     assert cfg.nested.x == 1 and cfg.nested.y == 7
     assert cfg.get_path("nested.y") == 7
     assert cfg.get_path("missing.key", "d") == "d"
+
+
+def test_trainer_metric3d_losses_with_intrinsics(tiny_checkpoint, tmp_path):
+    """vnl/hdsnr train end-to-end through the Trainer: the dataset-style
+    batch carries 'intrinsic', _device_batch forwards it, vnl consumes it
+    (reference genpercept_trainer.py:776-780)."""
+    from genpercept_tpu.data.sampler import collate
+    from genpercept_tpu.io.checkpoints import load_genpercept_checkpoint
+    from genpercept_tpu.train import TrainConfig
+    from genpercept_tpu.train.trainer import Trainer
+
+    models = load_genpercept_checkpoint(str(tiny_checkpoint))
+    rng = np.random.default_rng(5)
+    mask = np.ones((48, 48), bool)
+    mask[:8, :8] = False
+    K = np.array([[52.0, 0, 24.0], [0, 52.0, 24.0], [0, 0, 1]], np.float32)
+
+    def sample(i):
+        return {
+            "rgb_norm": rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32),
+            "depth_raw_norm": rng.uniform(-1, 1, (48, 48)).astype(np.float32),
+            "valid_mask_raw": mask,
+            "intrinsic": K,
+        }
+
+    class Loader:
+        def __iter__(self):
+            for i in range(0, 4, 2):
+                yield collate([sample(i), sample(i + 1)])
+
+        def __len__(self):
+            return 2
+
+    cfg = TrainConfig(
+        loss_names=("mse", "vnl", "hdsnr"), fix_timesteps=1, lr=1e-4,
+    )
+    trainer = Trainer(
+        cfg=cfg, models=models, train_loader=Loader(),
+        out_dir=str(tmp_path / "run_vnl"), max_iter=2, save_period=0,
+    )
+    trainer.train()
+    assert trainer.effective_iter == 2
+    # per-loss components logged (one JSONL line per scalar)
+    import json
+
+    logged = {}
+    with open(tmp_path / "run_vnl" / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            logged.update({k: v for k, v in rec.items() if k.startswith("train/")})
+    for k in ("train/mse", "train/vnl", "train/hdsnr"):
+        assert k in logged and np.isfinite(logged[k]), logged

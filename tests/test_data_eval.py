@@ -229,3 +229,114 @@ def test_metric_tracker():
     assert t.avg("a") == 2.0
     t.reset()
     assert t.result()["a"] == 0.0
+
+
+def test_skip_first_batches_no_dataset_io(toy_dataset):
+    """Index-level resume: skipped batches never touch the dataset
+    (reference SkipBatchSampler, src/util/data_loader.py:24-68)."""
+    from genpercept_tpu.data.sampler import skip_first_batches
+
+    root, split = toy_dataset
+    ds = NYUDataset(
+        mode=DatasetMode.EVAL, filename_ls_path=str(split), dataset_dir=str(root),
+        eigen_valid_mask=False,
+    )
+    calls = []
+
+    class Counting:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return self.inner[i]
+
+    counting = Counting(ConcatDataset([ds]))
+    sampler = MixedBatchSampler([ds], batch_size=2,
+                                generator=np.random.default_rng(1))
+    loader = DataLoader(counting, sampler)
+
+    # full pass: 2 batches, 4 getitem calls
+    batches = list(iter(loader))
+    assert len(batches) == 2 and len(calls) == 4
+
+    # fresh same-seeded sampler (resume reconstructs the seed state; the
+    # sampler rng is stateful across epochs)
+    calls.clear()
+    sampler_r = MixedBatchSampler([ds], batch_size=2,
+                                  generator=np.random.default_rng(1))
+    loader_r = DataLoader(counting, sampler_r)
+    remaining = list(skip_first_batches(loader_r, 1))
+    assert len(remaining) == 1
+    assert len(calls) == 2  # only the unskipped batch was loaded
+
+    # seed-replay consistency: the unskipped batch equals the second batch
+    # of the original full pass
+    np.testing.assert_array_equal(
+        remaining[0]["rgb_norm"], batches[1]["rgb_norm"]
+    )
+
+
+def test_collate_mixed_shapes_raises():
+    with pytest.raises(ValueError, match="mixed raster shapes"):
+        collate([
+            {"x": np.zeros((4, 4))},
+            {"x": np.zeros((5, 4))},
+        ])
+
+
+def test_intrinsic_emitted_and_transformed(toy_dataset):
+    """TRAIN samples from intrinsic-bearing datasets carry a 3x3 K, scaled
+    under resize and mirrored under LR flip."""
+    from genpercept_tpu.data.transforms import DepthNormalizer
+
+    root, split = toy_dataset
+
+    ds = NYUDataset(
+        mode=DatasetMode.TRAIN, filename_ls_path=str(split), dataset_dir=str(root),
+        eigen_valid_mask=False, depth_transform=DepthNormalizer(),
+    )
+    item = ds[0]
+    assert "intrinsic" in item and item["intrinsic"].shape == (3, 3)
+    # NYU native is 480x640; the 48x64 toy raster scales K by 0.1
+    np.testing.assert_allclose(item["intrinsic"][0, 0], 518.8579 * 0.1, rtol=1e-5)
+    np.testing.assert_allclose(item["intrinsic"][1, 2], 253.73617 * 0.1, rtol=1e-5)
+
+    # EVAL mode: no intrinsic key
+    ds_eval = NYUDataset(
+        mode=DatasetMode.EVAL, filename_ls_path=str(split), dataset_dir=str(root),
+        eigen_valid_mask=False,
+    )
+    assert "intrinsic" not in ds_eval[0]
+
+    # resize scales K
+    ds_r = NYUDataset(
+        mode=DatasetMode.TRAIN, filename_ls_path=str(split), dataset_dir=str(root),
+        eigen_valid_mask=False, depth_transform=DepthNormalizer(),
+        resize_to_hw=(24, 32),
+    )
+    item_r = ds_r[0]
+    np.testing.assert_allclose(
+        item_r["intrinsic"][0, 0], item["intrinsic"][0, 0] * 0.5, rtol=1e-5
+    )
+    assert item_r["rgb_norm"].shape[:2] == (24, 32)
+
+    # LR flip mirrors cx (force flip with p=1)
+    class A:
+        lr_flip_p = 1.0
+
+    ds_f = NYUDataset(
+        mode=DatasetMode.TRAIN, filename_ls_path=str(split), dataset_dir=str(root),
+        eigen_valid_mask=False, depth_transform=DepthNormalizer(),
+        augmentation_args=A(),
+    )
+    item_f = ds_f[0]
+    w = item_f["rgb_norm"].shape[1]
+    np.testing.assert_allclose(
+        item_f["intrinsic"][0, 2], (w - 1) - item["intrinsic"][0, 2], rtol=1e-5
+    )
+    # K itself must not be raster-flipped
+    assert item_f["intrinsic"][2, 2] == 1.0

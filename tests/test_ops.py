@@ -179,3 +179,45 @@ def test_colorize_matches_matplotlib_spectral():
     # matplotlib does nearest-entry lookup into its 256-LUT; we lerp between
     # entries — bounded by ~half a LUT step (~2 LSB of an 8-bit PNG).
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1.2e-2)
+
+
+def test_nearest_up2_conv3x3_exact():
+    """Fused subpixel upsampler == nearest-x2 then 3x3 conv, exactly."""
+    import numpy as np
+
+    from genpercept_tpu.ops.conv import conv2d, nearest_up2_conv3x3
+
+    rng = np.random.default_rng(0)
+    for (h, w, ci, co) in [(5, 7, 8, 16), (12, 12, 32, 32), (1, 1, 4, 4)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, ci)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, ci, co)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        ref = conv2d(up, k, b, stride=1, padding=1)
+        got = nearest_up2_conv3x3(x, k, b)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_nearest_up2_conv3x3_grad():
+    """The fused upsampler is differentiable and matches the naive grad."""
+    import numpy as np
+
+    from genpercept_tpu.ops.conv import conv2d, nearest_up2_conv3x3
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 8)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)), jnp.float32)
+
+    def f_ref(x, k):
+        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return jnp.sum(jnp.sin(conv2d(up, k, None, 1, 1)))
+
+    def f_new(x, k):
+        return jnp.sum(jnp.sin(nearest_up2_conv3x3(x, k, None)))
+
+    gx_r, gk_r = jax.grad(f_ref, (0, 1))(x, k)
+    gx_n, gk_n = jax.grad(f_new, (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_n), np.asarray(gk_r), rtol=1e-4, atol=1e-4)
