@@ -30,6 +30,10 @@ def build_parser():
     p.add_argument("--data_parallel", type=int, default=-1,
                    help="mesh data axis (-1: all devices)")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state across the data mesh axis "
+                        "(ZeRO-1; the reference's DeepSpeed hook, "
+                        "accelerate_train.py:198-202)")
     return p
 
 
@@ -117,6 +121,61 @@ def main(argv=None):
     vis_loaders = _eval_loaders("dataset.vis")
 
     models = load_genpercept_checkpoint(args.checkpoint, mode)
+
+    # --- ablation axes (reference config/ablation/) -----------------------
+    # arch: MarigoldPipeline (+rgb_blending) vs GenPerceptPipeline
+    # (accelerate_train.py:387-441); top-level `arch:` is our shorthand
+    arch = cfg.get("arch")
+    if arch is None:
+        if cfg.get_path("pipeline.name") == "MarigoldPipeline":
+            arch = ("rgb_blending"
+                    if cfg.get_path("pipeline.kwargs.rgb_blending") else "marigold")
+        else:
+            arch = "genpercept"
+
+    # training scheduler betas: genpercept is the degenerate beta=1 case;
+    # marigold ablations point `model.scheduler_path` at a
+    # hf_configs/scheduler_beta_{start}_{end} dir (ablation/beta_values/)
+    from genpercept_tpu.diffusion import GENPERCEPT_SCHEDULER, SchedulerConfig
+
+    if arch == "genpercept":
+        sched_cfg = GENPERCEPT_SCHEDULER
+    else:
+        sched_cfg = SchedulerConfig()  # SD2.1 default betas
+        sp = cfg.get_path("model.scheduler_path")
+        if sp:
+            import re
+
+            m = re.search(r"scheduler_beta_([0-9.]+)_([0-9.]+)", sp)
+            assert m, f"cannot parse betas from scheduler_path: {sp}"
+            sched_cfg = SchedulerConfig(
+                beta_start=float(m.group(1)), beta_end=float(m.group(2))
+            )
+        for k in ("beta_start", "beta_end", "beta_schedule",
+                  "power_beta_curve", "rescale_betas_zero_snr"):
+            v = cfg.get_path(f"scheduler.{k}")
+            if v is not None:
+                import dataclasses as _dc
+
+                sched_cfg = _dc.replace(sched_cfg, **{k: v})
+
+    # from-scratch inits (ablation/components/*_from_scratch.yaml)
+    if cfg.get_path("model.unet_from_scratch"):
+        from genpercept_tpu.models import init_unet
+
+        models.unet = init_unet(jax.random.key(seed or 0), models.unet_cfg)
+    if cfg.get_path("model.vae_decoder_from_scratch"):
+        from genpercept_tpu.models import init_vae
+
+        fresh = init_vae(jax.random.key((seed or 0) + 1), models.vae_cfg)
+        models.vae = {**models.vae, "decoder": fresh["decoder"],
+                      "post_quant_conv": fresh["post_quant_conv"]}
+
+    # text-prompt ablation (ablation/text_prompt/, model.text_input)
+    text_input = cfg.get_path("model.text_input")
+    if text_input:
+        models.text_embed = models.encode_prompt(text_input)
+
     lr = cfg.get_path("lr", 3e-5)
     lr_cfg = cfg.get_path("lr_scheduler.kwargs", {}) or {}
     # reference loss naming (config `loss.name` list) -> internal names
@@ -131,10 +190,19 @@ def main(argv=None):
     )
     if isinstance(raw_losses, str):
         raw_losses = [raw_losses]
-    losses = tuple(loss_name_map.get(n, n) for n in raw_losses)
+    if cfg.get_path("loss.customized_loss", False):
+        losses = tuple(loss_name_map.get(n, n) for n in raw_losses)
+    else:
+        # reference: without customized_loss the single name selects a
+        # LATENT-space loss via util/loss.py get_loss (marigold recipes)
+        latent_map = {"mse_loss": "latent_mse", "mse": "latent_mse",
+                      "latent_mse": "latent_mse"}
+        losses = tuple(latent_map[n] for n in raw_losses)
     mrn = cfg.get_path("multi_res_noise")
     train_cfg = TrainConfig(
         mode=mode,
+        arch=arch,
+        scheduler=sched_cfg,
         loss_names=losses,
         lr=lr,
         lr_total_iter_length=lr_cfg.get("total_iter_length", 25000),
@@ -146,6 +214,7 @@ def main(argv=None):
         train_vae_decoder=cfg.get_path("model.train_vae_decoder", False),
         unet_lora_rank=cfg.get_path("model.unet_lora_rank"),
         multi_res_noise_strength=(mrn or {}).get("strength"),
+        multi_res_noise_strategy=(mrn or {}).get("downscale_strategy", "original"),
         multi_res_noise_annealed=(mrn or {}).get("annealed", False),
         remat_unet=cfg.get_path("model.remat_unet", True),
         adam_mu_dtype=jnp.bfloat16
@@ -167,6 +236,7 @@ def main(argv=None):
         vis_loaders=vis_loaders,
         main_seed=seed,
         mesh=mesh,
+        zero1=args.zero1,
     )
     if args.resume_run:
         trainer.load_checkpoint(args.resume_run)

@@ -3,9 +3,13 @@
 Rebuild of `src/util/multi_res_noise.py:9-75`: a sum of bilinear-upsampled
 gaussians at progressively coarser resolutions, weighted strength^i, then
 rescaled to unit variance. The reference's `original`/`random_step`
-strategies draw a random downscale ratio per call — here they take the ratio
-from the PRNG key so the function stays pure and jittable (static loop over
-at most 10 levels, masked when the resolution floor is hit).
+strategies draw a continuous random downscale ratio in [2, 4) per call
+(multi_res_noise.py:30,44) — a data-dependent shape, impossible under jit.
+Here the ratio only ever enters through `int(h / ratio**i)`, so the
+continuous draw induces a distribution over finitely many shape pyramids;
+we quantize it to `_N_RATIO_BINS` midpoints and pick the pyramid with a
+traced `lax.switch`, which keeps the function pure and jittable with the
+reference's default strategy.
 """
 
 from __future__ import annotations
@@ -15,6 +19,8 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+
+_N_RATIO_BINS = 8
 
 
 def _upsample_bilinear(x: jax.Array, out_hw) -> jax.Array:
@@ -37,24 +43,33 @@ def multi_res_noise_like(
     noise = jax.random.normal(k0, shape, dtype)
 
     if downscale_strategy in ("original", "random_step"):
-        # ratio drawn host-side from the key (shapes must be static for jit;
-        # call this OUTSIDE jit or with a fixed key per compile)
-        ratio = 2.0 + 2.0 * float(
-            jax.random.uniform(jax.random.fold_in(key, 17), ())
+        def pyramid(ratio: float, pkey) -> jax.Array:
+            acc = jnp.zeros(shape, dtype)
+            ch, cw = h, w
+            for i in range(10):
+                if downscale_strategy == "original":
+                    ch = max(1, int(h / (ratio**i)))
+                    cw = max(1, int(w / (ratio**i)))
+                else:  # random_step: repeated division by the same ratio
+                    ch = max(1, int(ch / ratio))
+                    cw = max(1, int(cw / ratio))
+                pkey, ki = jax.random.split(pkey)
+                g = jax.random.normal(ki, (b, ch, cw, c), dtype)
+                acc = acc + _upsample_bilinear(g, (h, w)) * (strength**i)
+                if ch == 1 or cw == 1:
+                    break
+            return acc
+
+        ratios = [
+            2.0 + 2.0 * (j + 0.5) / _N_RATIO_BINS for j in range(_N_RATIO_BINS)
+        ]
+        idx = jax.random.randint(
+            jax.random.fold_in(key, 17), (), 0, _N_RATIO_BINS
         )
-        ch, cw = h, w
-        for i in range(10):
-            if downscale_strategy == "original":
-                ch = max(1, int(h / (ratio**i)))
-                cw = max(1, int(w / (ratio**i)))
-            else:  # random_step: repeated division by the same ratio
-                ch = max(1, int(ch / ratio))
-                cw = max(1, int(cw / ratio))
-            key, ki = jax.random.split(key)
-            g = jax.random.normal(ki, (b, ch, cw, c), dtype)
-            noise = noise + _upsample_bilinear(g, (h, w)) * (strength**i)
-            if ch == 1 or cw == 1:
-                break
+        key = jax.random.fold_in(key, 18)
+        noise = noise + jax.lax.switch(
+            idx, [lambda k, r=r: pyramid(r, k) for r in ratios], key
+        )
     elif downscale_strategy == "every_layer":
         ch, cw = h, w
         for i in range(int(math.log2(min(h, w)))):

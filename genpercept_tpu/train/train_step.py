@@ -61,7 +61,7 @@ class TrainConfig:
     unet_lora_rank: Optional[int] = None
     # marigold-mode pyramid noise (genpercept_trainer.py:643-654)
     multi_res_noise_strength: Optional[float] = None
-    multi_res_noise_strategy: str = "power_of_two"  # jit-safe strategies only
+    multi_res_noise_strategy: str = "original"  # reference default (multi_res_noise.py:30)
     multi_res_noise_annealed: bool = False
     fix_timesteps: Optional[int] = None
     num_train_timesteps: int = 1000

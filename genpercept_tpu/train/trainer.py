@@ -63,6 +63,7 @@ class Trainer:
         vis_loaders: Optional[Dict[str, object]] = None,
         main_seed: Optional[int] = 0,
         mesh=None,
+        zero1: bool = False,
     ):
         self.cfg = cfg
         self.models = models
@@ -83,15 +84,24 @@ class Trainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from genpercept_tpu.parallel import shard_params_tp
+            from genpercept_tpu.parallel import (
+                shard_opt_state_zero1,
+                shard_params_tp,
+            )
 
             self.trainable = shard_params_tp(self.trainable, mesh)
             self.frozen = shard_params_tp(self.frozen, mesh)
-            self.opt_state = jax.tree.map(
-                lambda x: jax.device_put(x, NamedSharding(mesh, P()))
-                if hasattr(x, "shape") else x,
-                self.opt_state,
-            )
+            if zero1:
+                # optimizer moments sharded across the data axis (the
+                # reference's optional DeepSpeed ZeRO hook,
+                # accelerate_train.py:198-202)
+                self.opt_state = shard_opt_state_zero1(self.opt_state, mesh)
+            else:
+                self.opt_state = jax.tree.map(
+                    lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+                    if hasattr(x, "shape") else x,
+                    self.opt_state,
+                )
         self.step_fn = jax.jit(build_train_step(cfg, models, self.tx))
 
         self.effective_iter = 0

@@ -105,3 +105,43 @@ def test_trainer_visualize(tmp_path):
     assert osp.isdir(vis)
     files = os.listdir(vis)
     assert any(f.startswith("toy_") for f in files)
+
+
+def test_trainer_zero1_shards_opt_state(tmp_path):
+    """--zero1 routes the optimizer moments through shard_opt_state_zero1:
+    at least one Adam moment leaf must be sharded over the 'data' axis, and
+    a step must still run (reference DeepSpeed hook,
+    accelerate_train.py:198-202)."""
+    from genpercept_tpu.data.sampler import collate
+    from genpercept_tpu.parallel import make_mesh
+    from genpercept_tpu.train import TrainConfig
+    from genpercept_tpu.train.trainer import Trainer
+
+    models = tiny_models()
+    rng = np.random.default_rng(2)
+
+    def sample():
+        return {
+            "rgb_norm": rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32),
+            "depth_raw_norm": rng.uniform(-1, 1, (64, 64)).astype(np.float32),
+            "valid_mask_raw": np.ones((64, 64), bool),
+        }
+
+    class Loader:
+        def __iter__(self):
+            yield collate([sample() for _ in range(4)])
+
+    mesh = make_mesh(data=4, model=1)
+    trainer = Trainer(
+        cfg=TrainConfig(loss_names=("latent_mse",), fix_timesteps=1),
+        models=models, train_loader=Loader(), out_dir=str(tmp_path),
+        max_iter=1, save_period=0, mesh=mesh, zero1=True,
+    )
+    n_sharded = sum(
+        1
+        for leaf in jax.tree.leaves(trainer.opt_state)
+        if hasattr(leaf, "sharding")
+        and any(s is not None for s in getattr(leaf.sharding, "spec", ()))
+    )
+    assert n_sharded > 0
+    trainer.train()

@@ -221,3 +221,41 @@ def test_nearest_up2_conv3x3_grad():
     gx_n, gk_n = jax.grad(f_new, (0, 1))(x, k)
     np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk_n), np.asarray(gk_r), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "sq,sk,h,d",
+    [
+        (256, 256, 2, 64),   # UNet self-attention shape class
+        (256, 128, 2, 64),   # Sq != Sk
+        (128, 256, 1, 512),  # VAE mid-block: one head, head_dim 512
+    ],
+)
+def test_flash_attention_backward_matches_xla(sq, sk, h, d):
+    """jax.grad through the Pallas custom VJP (_flash_bwd_bhsd, interpret
+    mode) vs jax.grad of plain XLA attention, for dq, dk and dv."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(6)
+    b = 1
+    q = jnp.asarray(rng.normal(size=(b, sq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, sk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, sk, h, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(b, sq, h, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, use_flash=False) * w)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, ours, ref in zip(("dq", "dk", "dv"), g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=2e-3, rtol=1e-3,
+            err_msg=name,
+        )
