@@ -37,6 +37,139 @@ def build_parser():
     return p
 
 
+def resolve_train_config(cfg, grad_accum_steps: int = 1, mode: str = None):
+    """Map a merged recipe config (reference config/main_paper + ablation
+    key conventions) to a TrainConfig. Pure — no model/dataset IO — so every
+    recipe file is testable without checkpoints."""
+    import jax.numpy as jnp
+
+    from genpercept_tpu.diffusion import GENPERCEPT_SCHEDULER, SchedulerConfig
+    from genpercept_tpu.train import TrainConfig
+
+    if mode is None:
+        mode = cfg.get_path("pipeline.kwargs.mode", cfg.get("mode", "depth"))
+
+    # arch: MarigoldPipeline (+rgb_blending) vs GenPerceptPipeline
+    # (accelerate_train.py:387-441); top-level `arch:` is our shorthand
+    arch = cfg.get("arch")
+    if arch is None:
+        if cfg.get_path("pipeline.name") == "MarigoldPipeline":
+            arch = ("rgb_blending"
+                    if cfg.get_path("pipeline.kwargs.rgb_blending") else "marigold")
+        else:
+            arch = "genpercept"
+
+    # training scheduler betas: genpercept is the degenerate beta=1 case;
+    # marigold ablations point `model.scheduler_path` at a
+    # hf_configs/scheduler_beta_{start}_{end} dir (ablation/beta_values/)
+    if arch == "genpercept":
+        sched_cfg = GENPERCEPT_SCHEDULER
+    else:
+        sched_cfg = SchedulerConfig()  # SD2.1 default betas
+        sp = cfg.get_path("model.scheduler_path")
+        if sp:
+            import re
+
+            m = re.search(r"scheduler_beta_([0-9.]+)_([0-9.]+)", sp)
+            assert m, f"cannot parse betas from scheduler_path: {sp}"
+            sched_cfg = SchedulerConfig(
+                beta_start=float(m.group(1)), beta_end=float(m.group(2))
+            )
+        for k in ("beta_start", "beta_end", "beta_schedule",
+                  "power_beta_curve", "rescale_betas_zero_snr"):
+            v = cfg.get_path(f"scheduler.{k}")
+            if v is not None:
+                import dataclasses as _dc
+
+                sched_cfg = _dc.replace(sched_cfg, **{k: v})
+
+    lr = cfg.get_path("lr", 3e-5)
+    lr_cfg = cfg.get_path("lr_scheduler.kwargs", {}) or {}
+    # reference loss naming (config `loss.name` list) -> internal names
+    loss_name_map = {
+        "mse_loss": "mse", "least_square_ssi_loss": "ssi",
+        "medium_ssi_loss": "ssi_medium", "grad_loss": "grad",
+        "angular_loss": "angular", "l1_loss": "l1",
+        "vnl_loss": "vnl", "hdnr_loss": "hdnr", "hdsnr_loss": "hdsnr",
+    }
+    raw_losses = cfg.get_path("loss.name") or cfg.get_path(
+        "loss.customized_loss_names", ["latent_mse"]
+    )
+    if isinstance(raw_losses, str):
+        raw_losses = [raw_losses]
+    if cfg.get_path("loss.customized_loss", False):
+        losses = tuple(loss_name_map.get(n, n) for n in raw_losses)
+    else:
+        # reference: without customized_loss the single name selects a
+        # LATENT-space loss via util/loss.py get_loss (marigold recipes)
+        latent_map = {"mse_loss": "latent_mse", "mse": "latent_mse",
+                      "latent_mse": "latent_mse"}
+        losses = tuple(latent_map[n] for n in raw_losses)
+    mrn = cfg.get_path("multi_res_noise")
+    return TrainConfig(
+        mode=mode,
+        arch=arch,
+        scheduler=sched_cfg,
+        loss_names=losses,
+        lr=lr,
+        lr_total_iter_length=lr_cfg.get("total_iter_length",
+                                        lr_cfg.get("total_iter", 25000)),
+        lr_final_ratio=lr_cfg.get("final_ratio", 0.01),
+        lr_warmup_steps=lr_cfg.get("warmup_steps", 100),
+        grad_accum_steps=grad_accum_steps,
+        fix_timesteps=cfg.get_path("model.fix_timesteps",
+                                   cfg.get("fix_timesteps")),
+        train_unet=cfg.get_path("model.train_unet", True),
+        train_vae_decoder=cfg.get_path("model.train_vae_decoder", False),
+        unet_lora_rank=cfg.get_path("model.unet_lora_rank"),
+        multi_res_noise_strength=(mrn or {}).get("strength"),
+        multi_res_noise_strategy=(mrn or {}).get("downscale_strategy", "original"),
+        multi_res_noise_annealed=(mrn or {}).get("annealed", False),
+        remat_unet=cfg.get_path("model.remat_unet", True),
+        adam_mu_dtype=jnp.bfloat16
+        if cfg.get_path("optimizer.mu_dtype") == "bf16" else None,
+        compute_dtype=jnp.bfloat16
+        if cfg.get_path("mixed_precision") == "bf16" else jnp.float32,
+    )
+
+
+def apply_model_overrides(cfg, models, seed) -> None:
+    """Model-surgery ablation axes (reference config/ablation/): from-scratch
+    inits, a fresh DPT head, and a fixed text prompt."""
+    import jax
+
+    if cfg.get_path("model.unet_from_scratch"):
+        from genpercept_tpu.models import init_unet
+
+        models.unet = init_unet(jax.random.key(seed or 0), models.unet_cfg)
+    if cfg.get_path("model.vae_decoder_from_scratch"):
+        from genpercept_tpu.models import init_vae
+
+        fresh = init_vae(jax.random.key((seed or 0) + 1), models.vae_cfg)
+        models.vae = {**models.vae, "decoder": fresh["decoder"],
+                      "post_quant_conv": fresh["post_quant_conv"]}
+
+    # fresh DPT head when training one from the base SD2.1 checkpoint
+    # (model.customized_head; the run-layout sniffing in io/checkpoints only
+    # applies to already-trained checkpoints)
+    head_name = cfg.get_path("model.customized_head")
+    if head_name and models.dpt_head is None:
+        from genpercept_tpu.models.dpt_head import (
+            DPT_GENERAL,
+            DPT_IDENTITY,
+            init_dpt_head,
+        )
+
+        head_cfg = DPT_IDENTITY if "identity" in head_name else DPT_GENERAL
+        models.dpt_head = init_dpt_head(jax.random.key((seed or 0) + 2), head_cfg)
+        models.dpt_cfg = head_cfg
+
+    # text-prompt ablation (ablation/text_prompt/, model.text_input)
+    text_input = cfg.get_path("model.text_input")
+    if text_input:
+        models.text_embed = models.encode_prompt(text_input)
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -121,107 +254,16 @@ def main(argv=None):
     vis_loaders = _eval_loaders("dataset.vis")
 
     models = load_genpercept_checkpoint(args.checkpoint, mode)
+    apply_model_overrides(cfg, models, seed)
+    train_cfg = resolve_train_config(cfg, grad_accum_steps=accum, mode=mode)
+    if train_cfg.arch == "marigold" and models.unet_cfg.in_channels == 4:
+        # marigold concatenates [rgb_latent, noisy] -> 8-ch conv_in surgery
+        # (genpercept_trainer.py:539-558)
+        from genpercept_tpu.train.train_step import replace_unet_conv_in
 
-    # --- ablation axes (reference config/ablation/) -----------------------
-    # arch: MarigoldPipeline (+rgb_blending) vs GenPerceptPipeline
-    # (accelerate_train.py:387-441); top-level `arch:` is our shorthand
-    arch = cfg.get("arch")
-    if arch is None:
-        if cfg.get_path("pipeline.name") == "MarigoldPipeline":
-            arch = ("rgb_blending"
-                    if cfg.get_path("pipeline.kwargs.rgb_blending") else "marigold")
-        else:
-            arch = "genpercept"
-
-    # training scheduler betas: genpercept is the degenerate beta=1 case;
-    # marigold ablations point `model.scheduler_path` at a
-    # hf_configs/scheduler_beta_{start}_{end} dir (ablation/beta_values/)
-    from genpercept_tpu.diffusion import GENPERCEPT_SCHEDULER, SchedulerConfig
-
-    if arch == "genpercept":
-        sched_cfg = GENPERCEPT_SCHEDULER
-    else:
-        sched_cfg = SchedulerConfig()  # SD2.1 default betas
-        sp = cfg.get_path("model.scheduler_path")
-        if sp:
-            import re
-
-            m = re.search(r"scheduler_beta_([0-9.]+)_([0-9.]+)", sp)
-            assert m, f"cannot parse betas from scheduler_path: {sp}"
-            sched_cfg = SchedulerConfig(
-                beta_start=float(m.group(1)), beta_end=float(m.group(2))
-            )
-        for k in ("beta_start", "beta_end", "beta_schedule",
-                  "power_beta_curve", "rescale_betas_zero_snr"):
-            v = cfg.get_path(f"scheduler.{k}")
-            if v is not None:
-                import dataclasses as _dc
-
-                sched_cfg = _dc.replace(sched_cfg, **{k: v})
-
-    # from-scratch inits (ablation/components/*_from_scratch.yaml)
-    if cfg.get_path("model.unet_from_scratch"):
-        from genpercept_tpu.models import init_unet
-
-        models.unet = init_unet(jax.random.key(seed or 0), models.unet_cfg)
-    if cfg.get_path("model.vae_decoder_from_scratch"):
-        from genpercept_tpu.models import init_vae
-
-        fresh = init_vae(jax.random.key((seed or 0) + 1), models.vae_cfg)
-        models.vae = {**models.vae, "decoder": fresh["decoder"],
-                      "post_quant_conv": fresh["post_quant_conv"]}
-
-    # text-prompt ablation (ablation/text_prompt/, model.text_input)
-    text_input = cfg.get_path("model.text_input")
-    if text_input:
-        models.text_embed = models.encode_prompt(text_input)
-
-    lr = cfg.get_path("lr", 3e-5)
-    lr_cfg = cfg.get_path("lr_scheduler.kwargs", {}) or {}
-    # reference loss naming (config `loss.name` list) -> internal names
-    loss_name_map = {
-        "mse_loss": "mse", "least_square_ssi_loss": "ssi",
-        "medium_ssi_loss": "ssi_medium", "grad_loss": "grad",
-        "angular_loss": "angular", "l1_loss": "l1",
-        "vnl_loss": "vnl", "hdnr_loss": "hdnr", "hdsnr_loss": "hdsnr",
-    }
-    raw_losses = cfg.get_path("loss.name") or cfg.get_path(
-        "loss.customized_loss_names", ["latent_mse"]
-    )
-    if isinstance(raw_losses, str):
-        raw_losses = [raw_losses]
-    if cfg.get_path("loss.customized_loss", False):
-        losses = tuple(loss_name_map.get(n, n) for n in raw_losses)
-    else:
-        # reference: without customized_loss the single name selects a
-        # LATENT-space loss via util/loss.py get_loss (marigold recipes)
-        latent_map = {"mse_loss": "latent_mse", "mse": "latent_mse",
-                      "latent_mse": "latent_mse"}
-        losses = tuple(latent_map[n] for n in raw_losses)
-    mrn = cfg.get_path("multi_res_noise")
-    train_cfg = TrainConfig(
-        mode=mode,
-        arch=arch,
-        scheduler=sched_cfg,
-        loss_names=losses,
-        lr=lr,
-        lr_total_iter_length=lr_cfg.get("total_iter_length", 25000),
-        lr_final_ratio=lr_cfg.get("final_ratio", 0.01),
-        lr_warmup_steps=lr_cfg.get("warmup_steps", 100),
-        grad_accum_steps=accum,
-        fix_timesteps=cfg.get_path("model.fix_timesteps"),
-        train_unet=cfg.get_path("model.train_unet", True),
-        train_vae_decoder=cfg.get_path("model.train_vae_decoder", False),
-        unet_lora_rank=cfg.get_path("model.unet_lora_rank"),
-        multi_res_noise_strength=(mrn or {}).get("strength"),
-        multi_res_noise_strategy=(mrn or {}).get("downscale_strategy", "original"),
-        multi_res_noise_annealed=(mrn or {}).get("annealed", False),
-        remat_unet=cfg.get_path("model.remat_unet", True),
-        adam_mu_dtype=jnp.bfloat16
-        if cfg.get_path("optimizer.mu_dtype") == "bf16" else None,
-        compute_dtype=jnp.bfloat16
-        if cfg.get_path("mixed_precision") == "bf16" else jnp.float32,
-    )
+        models.unet, models.unet_cfg = replace_unet_conv_in(
+            models.unet, models.unet_cfg
+        )
 
     trainer = Trainer(
         cfg=train_cfg,

@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# (reference script/eval_sd21/eval_ensemble1_step1/52_eval_diode.sh)
+set -e
+OUT=${1:-output_eval/eval}
+ALIGN=${2:-least_square}
+: "${BASE_DATA_DIR:?set BASE_DATA_DIR}"
+python -m genpercept_tpu.cli.eval \
+    --dataset_config configs/dataset/eval/diode.yaml \
+    --base_data_dir "$BASE_DATA_DIR" \
+    --prediction_dir "$OUT/diode_test/prediction" \
+    --output_dir "$OUT/diode_test/eval_metric" \
+    --alignment "$ALIGN"

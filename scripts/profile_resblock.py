@@ -21,16 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def marginal_time(fn, params, x, n_lo=2, n_hi=8):
+    """Unlike bench.py, the loop-carried data dependency goes through the
+    (small) PARAMS rather than the activation: multiplying the full
+    activation adds a read+write of the whole tensor per iteration (~9 ms at
+    768^2@128 b16), which would swamp small ops like a bare GroupNorm."""
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_n(params, x, n):
         def body(i, carry):
-            acc, z = carry
-            out = fn(params, z)
+            acc, p = carry
+            out = fn(p, x)
             s = jnp.sum(out).astype(jnp.float32)
-            z = z * (1.0 + s.astype(z.dtype) * 1e-30)
-            return (acc + s, z)
+            p = jax.tree.map(lambda t: t * (1.0 + s.astype(t.dtype) * 1e-30), p)
+            return (acc + s, p)
 
-        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), x))[0]
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), params))[0]
 
     float(run_n(params, x, n_lo))
     float(run_n(params, x, n_hi))

@@ -1,0 +1,204 @@
+"""UNet-phase micro-profile on the real TPU: flash-attention block-size
+sweep at the hot (Sq=9216, d=64) shape, transformer blocks, UNet resblocks,
+and the GEGLU feed-forward — to locate the UNet's MFU gap (measured ~39%
+vs ~90% for the VAE convs).
+
+Usage: timeout 590 python scripts/profile_unet.py [--batch 16] [--part X]
+  parts: flash | blocks | ff | resblock | all
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def marginal_time(fn, params, x, n_lo=2, n_hi=8):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(params, x, n):
+        def body(i, carry):
+            acc, p = carry
+            out = fn(p, x)
+            s = jnp.sum(out).astype(jnp.float32)
+            p = jax.tree.map(lambda t: t * (1.0 + s.astype(t.dtype) * 1e-30), p)
+            return (acc + s, p)
+
+        return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), params))[0]
+
+    float(run_n(params, x, n_lo))
+    float(run_n(params, x, n_hi))
+    t0 = time.perf_counter()
+    float(run_n(params, x, n_lo))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_n(params, x, n_hi))
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (n_hi - n_lo)
+
+
+def flash_with_blocks(q_blk, k_blk):
+    """Parameterized copy of _flash_bhsd (ops/flash_attention.py) for block
+    tuning; (BH, S, D) in, out only."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.ops.flash_attention import _flash_kernel
+
+    def fn(qh, kh, vh, scale):
+        bh, sq, d = qh.shape
+        sk = kh.shape[1]
+        grid = (bh, sq // q_blk, sk // k_blk)
+        kernel = functools.partial(_flash_kernel, scale=scale)
+        out, _ = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, q_blk, 1), lambda b, qi, ki: (b, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
+                jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((q_blk, 1), jnp.float32),
+                pltpu.VMEM((q_blk, 1), jnp.float32),
+                pltpu.VMEM((q_blk, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(qh, kh, vh)
+        return out
+
+    return fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--part", default="all")
+    args = ap.parse_args()
+    b = args.batch
+
+    from genpercept_tpu.models.layers import (
+        feed_forward,
+        init_feed_forward,
+        init_resnet_block,
+        init_transformer_block,
+        resnet_block,
+        transformer_block,
+    )
+    from genpercept_tpu.ops.attention import dot_product_attention
+
+    bf = jnp.bfloat16
+
+    if args.part in ("flash", "all"):
+        # production entry point at the three UNet self-attn shapes
+        for s, c, heads in ((9216, 320, 5), (2304, 640, 10), (576, 1280, 20)):
+            d = 64
+            q = jax.random.normal(jax.random.key(1), (b, s, heads, d), bf)
+            fl = 4 * b * s * s * heads * d
+
+            def attn(p, x):
+                return dot_product_attention(x * p, x, x)
+
+            dt = marginal_time(attn, jnp.ones((), bf), q)
+            print(json.dumps({"op": f"flash_s{s}_h{heads}", "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part in ("blocks", "all"):
+        s, heads, d = 9216, 5, 64
+        qh = jax.random.normal(jax.random.key(2), (b * heads, s, d), bf)
+        for q_blk, k_blk in ((1024, 1024), (768, 768), (512, 512),
+                             (1152, 1152), (768, 1024), (1024, 768),
+                             (512, 768), (576, 576), (2304, 1024),
+                             (1024, 512), (2304, 768)):
+            if s % q_blk or s % k_blk:
+                continue
+            fn = flash_with_blocks(q_blk, k_blk)
+
+            def attn(p, x):
+                return fn(x * p, x, x, d ** -0.5)
+
+            try:
+                dt = marginal_time(attn, jnp.ones((), bf), qh)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"op": f"blocks_{q_blk}x{k_blk}",
+                                  "error": str(e)[:80]}))
+                continue
+            fl = 4 * b * heads * s * s * d
+            print(json.dumps({"op": f"blocks_{q_blk}x{k_blk}",
+                              "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part in ("ff", "all"):
+        for s, c in ((9216, 320), (2304, 640)):
+            x = jax.random.normal(jax.random.key(3), (b, s, c), bf)
+            p = jax.tree.map(lambda t: t.astype(bf),
+                             init_feed_forward(jax.random.key(4), c))
+
+            def ff(p, x):
+                return feed_forward(p, x)
+
+            dt = marginal_time(ff, p, x)
+            fl = 2 * b * s * c * (8 * c) * 2 + 2 * b * s * (4 * c) * c
+            print(json.dumps({"op": f"geglu_ff_s{s}_c{c}", "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part in ("resblock", "all"):
+        for hw, c in ((96, 320), (48, 640), (24, 1280), (12, 1280)):
+            x = jax.random.normal(jax.random.key(5), (b, hw, hw, c), bf)
+            p = jax.tree.map(lambda t: t.astype(bf),
+                             init_resnet_block(jax.random.key(6), c, c, 1280))
+            temb = jax.random.normal(jax.random.key(7), (b, 1280), bf)
+
+            def blk(p, x):
+                return resnet_block(p, x, temb, eps=1e-5)
+
+            dt = marginal_time(blk, p, x)
+            fl = 2 * 2 * 9 * b * hw * hw * c * c
+            print(json.dumps({"op": f"unet_resblock_{hw}@{c}",
+                              "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part in ("tblock", "all"):
+        for s, c, heads in ((9216, 320, 5), (2304, 640, 10)):
+            x = jax.random.normal(jax.random.key(8), (b, s, c), bf)
+            ctx = jax.random.normal(jax.random.key(9), (b, 77, 1024), bf)
+            p = jax.tree.map(
+                lambda t: t.astype(bf),
+                init_transformer_block(jax.random.key(10), c, heads, 1024),
+            )
+
+            def tb(p, x):
+                return transformer_block(p, x, ctx, heads)
+
+            dt = marginal_time(tb, p, x)
+            fl = (4 * b * s * s * heads * 64          # self-attn
+                  + 8 * b * s * c * c                 # qkvo self
+                  + 2 * b * s * c * (8 * c) + 2 * b * s * (4 * c) * c  # ff
+                  + 4 * b * 77 * c * 1024 + 4 * b * s * 77 * c)  # cross approx
+            print(json.dumps({"op": f"tblock_s{s}_c{c}", "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -337,3 +337,85 @@ def test_trainer_metric3d_losses_with_intrinsics(tiny_checkpoint, tmp_path):
             logged.update({k: v for k, v in rec.items() if k.startswith("train/")})
     for k in ("train/mse", "train/vnl", "train/hdsnr"):
         assert k in logged and np.isfinite(logged[k]), logged
+
+
+def test_cli_train_main_end_to_end(tiny_checkpoint, tmp_path):
+    """Drive cli.train.main() itself (recipe yaml -> dataset -> Trainer ->
+    checkpoint/resume artifacts), including the marigold-arch + latent-loss
+    + scheduler_path ablation axes (reference accelerate_train.py:82-518)."""
+    from genpercept_tpu.cli.train import main as train_main
+
+    # toy NYU-style training data
+    data_dir = tmp_path / "data" / "nyu"
+    data_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    lines = []
+    for i in range(4):
+        rgb = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+        depth_mm = rng.uniform(1000, 9000, (64, 64)).astype(np.int32)
+        Image.fromarray(rgb).save(data_dir / f"rgb_{i}.png")
+        Image.fromarray(depth_mm, mode="I").save(data_dir / f"depth_{i}.png")
+        lines.append(f"rgb_{i}.png depth_{i}.png depth_{i}.png")
+    split = tmp_path / "train_list.txt"
+    split.write_text("\n".join(lines))
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(f"""
+mode: depth
+pipeline:
+  name: MarigoldPipeline
+  kwargs: {{mode: depth, rgb_blending: false}}
+model:
+  scheduler_path: hf_configs/scheduler_beta_0.00085_0.012
+  remat_unet: false
+multi_res_noise:
+  strength: 0.9
+  annealed: true
+  downscale_strategy: original
+depth_normalization:
+  type: scale_shift_depth
+  clip: true
+  norm_min: -1.0
+  norm_max: 1.0
+  min_max_quantile: 0.02
+dataloader:
+  effective_batch_size: 2
+  max_train_batch_size: 2
+  seed: 2024
+dataset:
+  train:
+    name: nyu_v2
+    disp_name: nyu_toy
+    dir: nyu
+    filenames: {split}
+max_iter: 2
+trainer:
+  init_seed: 2024
+  save_period: 2
+loss:
+  customized_loss: false
+  name: [mse_loss]
+lr: 1.0e-04
+""")
+    out_dir = tmp_path / "run"
+    train_main([
+        "--config", str(cfg_path),
+        "--checkpoint", str(tiny_checkpoint),
+        "--base_data_dir", str(tmp_path / "data"),
+        "--output_dir", str(out_dir),
+        "--data_parallel", "1",
+    ])
+    assert osp.isdir(out_dir / "checkpoint" / "final")
+    assert osp.exists(out_dir / "config.yaml")
+    assert osp.exists(out_dir / "code_snapshot.tar.gz")
+    assert osp.exists(out_dir / "metrics.jsonl")
+
+    # resume path restores counters
+    train_main([
+        "--config", str(cfg_path),
+        "--checkpoint", str(tiny_checkpoint),
+        "--base_data_dir", str(tmp_path / "data"),
+        "--output_dir", str(out_dir),
+        "--data_parallel", "1",
+        "--resume_run", "final",
+    ])
