@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634
 
 
 def _pick_block(s: int, cap: int,
@@ -34,53 +35,73 @@ def _pick_block(s: int, cap: int,
     return None
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref,
                   *, scale):
+    """Online-softmax step, tuned for the VPU-bound d=64 regime: the
+    elementwise work on the (q_blk, k_blk) logits tile dominates the two
+    64-deep MXU matmuls, so every per-logit op counts. Three cuts vs the
+    textbook form:
+      - base-2 softmax as one FMA + exp2 per logit: p = exp2(s*c - m*c) with
+        c = scale*log2e (exp lowers to exp2+mul anyway); the running max m
+        is tracked on RAW logits so no per-logit scale multiply exists;
+      - the row sum l rides the p@v matmul as an appended ones-column: d=64
+        already pads the MXU lane dim to 128, so the extra column is free,
+        and the separate VPU row-sum disappears;
+      - l lives inside the accumulator, so one alpha rescale covers both.
+    lse is returned in BASE-2 units of the SCALED logits (m*c + log2 l);
+    the backward kernels consume it with exp2."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(ki == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (q_blk, d)
-    k = k_ref[0].astype(jnp.float32)  # (k_blk, d)
-    v = v_ref[0].astype(jnp.float32)
+    # Matmul operands stay in the input dtype (bf16 in production; the MXU
+    # accumulates fp32). Softmax math stays fp32.
+    q = q_ref[0]  # (q_blk, d)
+    k = k_ref[0]  # (k_blk, d)
+    v = v_ref[0]
+    c = scale * _LOG2E
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (q_blk, k_blk)
+    )  # (q_blk, k_blk) fp32, raw logits
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s * c - m_new * c).astype(v.dtype)  # FMA + exp2 per logit
+    alpha = jnp.exp2((m_prev - m_new) * c)
     m_ref[:] = m_new
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
-    )
+    ones = jnp.ones((v.shape[0], 1), v.dtype)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, jnp.concatenate([v, ones], axis=1),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (q_blk, d+1): weighted values | row sum
 
     @pl.when(ki == nk - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
+        l = acc_ref[:, -1:]
+        o_ref[0] = (acc_ref[:, :-1] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:] * c + jnp.log2(l)
 
 
 def _blocks(sq: int, sk: int, d: int):
     # VMEM budget: q + out + 2*(k,v) blocks + fp32 acc + logits; caps keep
-    # the working set under ~8 MB with double buffering. (1024, 1536) was
-    # fastest at the 9216-token d=64 shape on v5e — the kernel runs at
-    # ~174 bf16 TFLOP/s there, essentially MXU-bound.
+    # the working set under ~8 MB with double buffering. At d=64 the kernel
+    # is VPU-bound on the per-logit softmax work (the two 64-deep matmuls
+    # are ~1.4 us/block vs ~2.5 us of VPU time at 1024x1024), so block
+    # choice mainly trades grid overhead vs VMEM; (1024, 1024) measured
+    # fastest at the 9216-token shape on v5e.
     q_cap = 1024 if d <= 128 else 256
-    k_cap = 1536 if d <= 128 else 512
+    k_cap = 1024 if d <= 128 else 512
     return _pick_block(sq, q_cap), _pick_block(sk, k_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
-    """qh: (BH, Sq, D); kh/vh: (BH, Sk, D) -> (out, logsumexp)."""
+    """qh: (BH, Sq, D); kh/vh: (BH, Sk, D) -> (out, lse2) with lse2 the
+    BASE-2 logsumexp of the natural-units logits (see _flash_kernel)."""
     bh, sq, d = qh.shape
     sk = kh.shape[1]
     q_blk, k_blk = _blocks(sq, sk, d)
@@ -108,9 +129,8 @@ def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
             jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((q_blk, 1), jnp.float32),  # running max
-            pltpu.VMEM((q_blk, 1), jnp.float32),  # running denominator
-            pltpu.VMEM((q_blk, d), jnp.float32),  # output accumulator
+            pltpu.VMEM((q_blk, 1), jnp.float32),      # running max (base-2)
+            pltpu.VMEM((q_blk, d + 1), jnp.float32),  # acc | row sum
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -129,22 +149,27 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, 0]  # (q_blk,)
+    # bf16 matmul operands, fp32 accumulation/softmath; lse2 is in base-2
+    # units of the scaled logits (see _flash_kernel)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse2 = lse_ref[0][:, 0]  # (q_blk,)
     dsum = dsum_ref[0][:, 0]
+    c = scale * _LOG2E
 
-    s = scale * jax.lax.dot_general(
+    s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jnp.exp(s - lse[:, None])
+    p = jnp.exp2(s * c - lse2[:, None])
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - dsum[:, None]) * scale
-    acc_ref[:] = acc_ref[:] + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    ds = (p * (dp - dsum[:, None]) * scale).astype(k.dtype)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
     @pl.when(ki == nk - 1)
     def _finish():
@@ -161,24 +186,31 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, 0]
+    # bf16 matmul operands, fp32 accumulation/softmath; lse2 in base-2 units
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse2 = lse_ref[0][:, 0]
     dsum = dsum_ref[0][:, 0]
+    c = scale * _LOG2E
 
     # (k_blk, q_blk) transposed score block
-    st = scale * jax.lax.dot_general(
+    st = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    pt = jnp.exp(st - lse[None, :])
-    dv_acc[:] = dv_acc[:] + jnp.dot(pt, do, preferred_element_type=jnp.float32)
+    pt = jnp.exp2(st * c - lse2[None, :])
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     dpt = jax.lax.dot_general(
         v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dst = pt * (dpt - dsum[None, :]) * scale
-    dk_acc[:] = dk_acc[:] + jnp.dot(dst, q, preferred_element_type=jnp.float32)
+    dst = (pt * (dpt - dsum[None, :]) * scale).astype(q.dtype)
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
     @pl.when(qi == nq - 1)
     def _finish():
