@@ -103,7 +103,9 @@ def resolve_train_config(cfg, grad_accum_steps: int = 1, mode: str = None):
         # reference: without customized_loss the single name selects a
         # LATENT-space loss via util/loss.py get_loss (marigold recipes)
         latent_map = {"mse_loss": "latent_mse", "mse": "latent_mse",
-                      "latent_mse": "latent_mse"}
+                      "latent_mse": "latent_mse",
+                      "l1_loss": "latent_l1", "l1_loss_with_mask": "latent_l1",
+                      "mean_abs_rel": "latent_mean_abs_rel"}
         losses = tuple(latent_map[n] for n in raw_losses)
     mrn = cfg.get_path("multi_res_noise")
     return TrainConfig(

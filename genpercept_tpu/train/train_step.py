@@ -200,14 +200,29 @@ def build_loss_fn(cfg: TrainConfig, models):
             pred_px = head_pred  # (B,H,W)
         else:
             v = _unet_plain(params["unet"], unet_in, t, text)
-            if "latent_mse" in cfg.loss_names:
-                l = L.masked_mse(
-                    v.astype(jnp.float32), target.astype(jnp.float32),
-                    jnp.broadcast_to(mask_latent, v.shape),
-                )
-                aux["latent_mse"] = l
+            for name in cfg.loss_names:
+                if not name.startswith("latent"):
+                    continue
+                vm = jnp.broadcast_to(mask_latent, v.shape)
+                v32, t32 = v.astype(jnp.float32), target.astype(jnp.float32)
+                # masked latent-loss zoo (reference util/loss.py get_loss,
+                # applied under the latent valid mask at
+                # genpercept_trainer.py:695-715)
+                if name in ("latent_mse", "latent_mse_loss"):
+                    l = L.masked_mse(v32, t32, vm)
+                elif name in ("latent_l1", "latent_l1_loss",
+                              "latent_l1_loss_with_mask"):
+                    l = L.masked_l1(v32, t32, vm)
+                elif name == "latent_mean_abs_rel":
+                    mm = vm.astype(jnp.float32)
+                    rel = jnp.abs(v32 - t32) / jnp.maximum(jnp.abs(t32), 1e-6)
+                    l = jnp.sum(rel * mm) / (jnp.sum(mm) + 1e-6)
+                else:
+                    raise ValueError(name)
+                aux[name] = l
                 total += l
-            pixel_losses = [n for n in cfg.loss_names if n != "latent_mse"]
+            pixel_losses = [n for n in cfg.loss_names
+                            if not n.startswith("latent")]
             if not pixel_losses:
                 return total, aux
             decoded = vae_decode(params["vae"], -v, vae_cfg)  # grads flow
@@ -219,7 +234,7 @@ def build_loss_fn(cfg: TrainConfig, models):
             targ = gt[..., 0].astype(jnp.float32) + 2.0
             m = valid
             for name in cfg.loss_names:
-                if name == "latent_mse":
+                if name.startswith("latent"):
                     continue
                 if name == "mse":
                     l, w = L.masked_mse(pred, targ, m), 1.0
@@ -253,7 +268,7 @@ def build_loss_fn(cfg: TrainConfig, models):
             targ = gt.astype(jnp.float32)
             m = valid
             for name in cfg.loss_names:
-                if name == "latent_mse":
+                if name.startswith("latent"):
                     continue
                 if name == "mse":
                     l, w = L.masked_mse(pred, targ, m[..., None] & jnp.ones_like(pred, bool)), 1.0

@@ -78,9 +78,8 @@ def flash_with_blocks(q_blk, k_blk):
                 jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((q_blk, 1), jnp.float32),
-                pltpu.VMEM((q_blk, 1), jnp.float32),
-                pltpu.VMEM((q_blk, d), jnp.float32),
+                pltpu.VMEM((q_blk, 1), jnp.float32),      # running max
+                pltpu.VMEM((q_blk, d + 1), jnp.float32),  # acc | row sum
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),

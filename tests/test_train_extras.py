@@ -96,3 +96,31 @@ def test_metric3d_losses_in_train_step():
     _, _, metrics = step(trainable, frozen, opt_state, batch, jax.random.key(2))
     for k in ("loss", "vnl", "hdnr", "hdsnr"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_latent_loss_zoo_variants():
+    """latent_l1 / latent_mean_abs_rel train-step variants run and differ
+    from latent_mse (reference util/loss.py get_loss factory)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genpercept_tpu.train import TrainConfig, build_train_step, init_train_state
+
+    models = tiny_models()
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb_norm": jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32),
+        "gt_norm": jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32),
+        "valid_mask": jnp.ones((2, 64, 64), bool),
+    }
+    losses = {}
+    for name in ("latent_mse", "latent_l1", "latent_mean_abs_rel"):
+        cfg = TrainConfig(loss_names=(name,), fix_timesteps=1)
+        trainable, frozen, tx, opt_state = init_train_state(models.params(), cfg)
+        step = jax.jit(build_train_step(cfg, models, tx))
+        _, _, metrics = step(trainable, frozen, opt_state, batch, jax.random.key(0))
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name]), name
+        assert name in metrics
+    assert losses["latent_mse"] != losses["latent_l1"]
