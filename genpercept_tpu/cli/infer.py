@@ -29,6 +29,10 @@ def build_parser():
     p.add_argument("--fix_timesteps", type=int, default=None)
     p.add_argument("--prompt", default="", help="text prompt (reference infer.py:183)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--overwrite", action="store_true",
+                   help="overwrite a non-empty output dir (the reference "
+                        "asks interactively, infer.py:249-267; here it is "
+                        "an explicit flag so batch scripts stay unattended)")
     return p
 
 
@@ -44,6 +48,13 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if (osp.isdir(args.output_dir) and os.listdir(args.output_dir)
+            and not args.overwrite):
+        # the reference asks interactively here (infer.py:249-267)
+        raise SystemExit(
+            f"output dir {args.output_dir} is not empty; pass --overwrite "
+            "to replace existing predictions"
+        )
     if args.archs == "genpercept":
         args.denoise_steps, args.ensemble_size = 1, 1
 

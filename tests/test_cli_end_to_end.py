@@ -419,3 +419,19 @@ lr: 1.0e-04
         "--data_parallel", "1",
         "--resume_run", "final",
     ])
+
+
+def test_cli_infer_overwrite_guard(tmp_path):
+    """Non-empty output dir aborts without --overwrite (the reference's
+    interactive confirmation, infer.py:249-267, as an explicit flag)."""
+    from genpercept_tpu.cli.infer import main as infer_main
+
+    out = tmp_path / "preds"
+    out.mkdir()
+    (out / "pred_stale.npy").write_bytes(b"x")
+    with pytest.raises(SystemExit, match="overwrite"):
+        infer_main([
+            "--checkpoint", "unused",
+            "--dataset_config", "unused.yaml",
+            "--output_dir", str(out),
+        ])
