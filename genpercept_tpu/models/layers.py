@@ -74,10 +74,32 @@ def init_resnet_block(key, cin: int, cout: int, temb_dim: int | None) -> Params:
 
 
 def resnet_block(
-    p: Params, x: jax.Array, temb: jax.Array | None = None, eps: float = 1e-5
+    p: Params, x: jax.Array, temb: jax.Array | None = None, eps: float = 1e-5,
+    fused: bool = False,
 ) -> jax.Array:
     """diffusers ResnetBlock2D: GN -> SiLU -> conv -> (+temb) -> GN -> SiLU
-    -> conv -> +shortcut."""
+    -> conv -> +shortcut.
+
+    fused=True routes both GN+SiLU+conv sequences (and the skip add) through
+    the Pallas fused kernel (ops/fused_conv.py) — inference path only."""
+    if fused and temb is None:
+        from genpercept_tpu.ops import fused_conv as FC
+
+        cout = p["conv1"]["weight"].shape[-1]
+        if FC.supported(x.shape, cout):
+            h = FC.fused_gn_silu_conv3x3(
+                x, p["norm1"]["weight"], p["norm1"]["bias"],
+                p["conv1"]["weight"], p["conv1"].get("bias"), eps=eps,
+            )
+            skip = x
+            if "conv_shortcut" in p:
+                skip = conv1x1(x, p["conv_shortcut"]["weight"][0, 0],
+                               p["conv_shortcut"].get("bias"))
+            return FC.fused_gn_silu_conv3x3(
+                h, p["norm2"]["weight"], p["norm2"]["bias"],
+                p["conv2"]["weight"], p["conv2"].get("bias"),
+                residual=skip, eps=eps,
+            )
     h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], 32, eps)
     h = jax.nn.silu(h)
     h = conv(p["conv1"], h)

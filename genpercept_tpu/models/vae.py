@@ -123,39 +123,60 @@ def _init_decoder(key, cfg: VAEConfig) -> Params:
 
 # ------------------------------------------------------------------ apply
 
-def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE) -> jax.Array:
-    """x: (N, H, W, 3) in [-1, 1] -> moments (N, H/8, W/8, 8)."""
+def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
+                      fused: bool = False) -> jax.Array:
+    """x: (N, H, W, 3) in [-1, 1] -> moments (N, H/8, W/8, 8).
+
+    fused=True uses the Pallas fused GN+SiLU+conv kernel in every resblock
+    (inference path; see ops/fused_conv.py)."""
     enc = p["encoder"]
     h = conv(enc["conv_in"], x)
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
         blk = enc["down_blocks"][str(i)]
         for j in range(cfg.layers_per_block):
-            h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6)
+            h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6,
+                             fused=fused)
         if "downsamplers" in blk:
             h = downsample2d(blk["downsamplers"]["0"], h, asymmetric_pad=True)
     mid = enc["mid_block"]
-    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6)
+    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6, fused=fused)
     h = vae_attention(mid["attentions"]["0"], h)
-    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6)
-    h = group_norm(h, enc["conv_norm_out"]["weight"], enc["conv_norm_out"]["bias"],
-                   cfg.norm_num_groups, 1e-6)
-    h = jax.nn.silu(h)
-    h = conv(enc["conv_out"], h)
+    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6, fused=fused)
+    h = _gn_silu_conv(h, enc["conv_norm_out"], enc["conv_out"],
+                      cfg.norm_num_groups, fused)
     # quant_conv maps moments -> moments (1x1 conv over 8 channels)
     from genpercept_tpu.ops.conv import conv1x1
     return conv1x1(h, p["quant_conv"]["weight"][0, 0], p["quant_conv"].get("bias"))
 
 
-def vae_encode(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE) -> jax.Array:
+def _gn_silu_conv(h, norm_p, conv_p, groups, fused):
+    """Final GN -> SiLU -> conv3x3, fused into one Pallas kernel when
+    possible (same shapes guard as resnet_block)."""
+    from genpercept_tpu.ops import fused_conv as FC
+
+    if fused and FC.supported(h.shape, conv_p["weight"].shape[-1]) \
+            and groups == 32:
+        return FC.fused_gn_silu_conv3x3(
+            h, norm_p["weight"], norm_p["bias"],
+            conv_p["weight"], conv_p.get("bias"),
+        )
+    h = group_norm(h, norm_p["weight"], norm_p["bias"], groups, 1e-6)
+    h = jax.nn.silu(h)
+    return conv(conv_p, h)
+
+
+def vae_encode(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
+               fused: bool = False) -> jax.Array:
     """Deterministic latent: mean channel of the posterior, scaled.
     Matches reference `encode_rgb` (genpercept_pipeline.py:488-505)."""
-    moments = vae_encoder_apply(p, x, cfg)
+    moments = vae_encoder_apply(p, x, cfg, fused=fused)
     mean = moments[..., : cfg.latent_channels]
     return mean * cfg.scaling_factor
 
 
-def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE) -> jax.Array:
+def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE,
+               fused: bool = False) -> jax.Array:
     """z: (N, h, w, 4) scaled latent -> (N, 8h, 8w, 3).
     Matches reference `decode_pred` up to the task-specific channel mean."""
     from genpercept_tpu.ops.conv import conv1x1
@@ -165,17 +186,16 @@ def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE) -> jax.Array:
     dec = p["decoder"]
     h = conv(dec["conv_in"], z)
     mid = dec["mid_block"]
-    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6)
+    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6, fused=fused)
     h = vae_attention(mid["attentions"]["0"], h)
-    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6)
+    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6, fused=fused)
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
         blk = dec["up_blocks"][str(i)]
         for j in range(cfg.layers_per_block + 1):
-            h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6)
+            h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6,
+                             fused=fused)
         if "upsamplers" in blk:
             h = upsample2d(blk["upsamplers"]["0"], h)
-    h = group_norm(h, dec["conv_norm_out"]["weight"], dec["conv_norm_out"]["bias"],
-                   cfg.norm_num_groups, 1e-6)
-    h = jax.nn.silu(h)
-    return conv(dec["conv_out"], h)
+    return _gn_silu_conv(h, dec["conv_norm_out"], dec["conv_out"],
+                         cfg.norm_num_groups, fused)

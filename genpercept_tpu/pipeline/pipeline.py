@@ -63,6 +63,13 @@ class PipelineConfig:
     fix_timesteps: Optional[int] = None
     resample_method: str = "bilinear"
     dtype: Any = jnp.float32
+    # Pallas fused GN+SiLU+conv resblocks in the VAE (ops/fused_conv.py).
+    # Measured SLOWER than XLA's composition on v5e (12.0 vs 15.8 img/s
+    # end-to-end at 768^2 b16): XLA's conv emitter runs at ~206 TFLOP/s and
+    # fuses the normalize+SiLU well enough that the hand-written implicit
+    # GEMM loses more on the 9 shifted-window matmuls than it saves in HBM
+    # traffic. Kept as an off-by-default experimental path.
+    fused_vae: bool = False
 
     def __post_init__(self):
         if self.arch == "genpercept":
@@ -140,10 +147,11 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
         ts = leading_timesteps(sched_cfg, cfg.denoising_steps)
     use_head = models.dpt_head is not None
     compute_dtype = cfg.dtype
+    fused = cfg.fused_vae
 
     def single_infer(params, rgb, noise: Optional[jax.Array] = None):
         rgb_norm = (rgb.astype(compute_dtype) * 2.0 - 1.0)
-        rgb_latent = vae_encode(params["vae"], rgb_norm, vae_cfg)
+        rgb_latent = vae_encode(params["vae"], rgb_norm, vae_cfg, fused=fused)
         text = jnp.broadcast_to(
             params["text_embed"].astype(compute_dtype),
             (rgb.shape[0],) + params["text_embed"].shape[-2:],
@@ -187,7 +195,7 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
                 )
             pred_latent = pred_x0
 
-        decoded = vae_decode(params["vae"], pred_latent, vae_cfg)
+        decoded = vae_decode(params["vae"], pred_latent, vae_cfg, fused=fused)
         if task.channel_mean:
             decoded = jnp.mean(decoded, axis=-1)
         pred = jnp.clip(decoded, -1.0, 1.0)

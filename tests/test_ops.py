@@ -259,3 +259,46 @@ def test_flash_attention_backward_matches_xla(sq, sk, h, d):
             np.asarray(ours), np.asarray(ref), atol=2e-3, rtol=1e-3,
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("co,with_res", [(128, False), (128, True), (256, False)])
+def test_fused_gn_silu_conv_matches_xla(co, with_res):
+    """Pallas fused GN+SiLU+conv3x3(+residual) kernel (interpret mode) vs
+    the XLA composition it replaces (ops/fused_conv.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.ops.fused_conv import fused_gn_silu_conv3x3, supported
+
+    rng = np.random.default_rng(7)
+    n, h, w, c = 2, 16, 24, 128
+    assert supported((n, h, w, c), co)
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.float32)
+    gs = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    gb = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    cw = jnp.asarray(rng.normal(size=(3, 3, c, co)) * 0.05, jnp.float32)
+    cb = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
+    res = (jnp.asarray(rng.normal(size=(n, h, w, co)), jnp.float32)
+           if with_res else None)
+
+    ref = conv2d(jax.nn.silu(group_norm(x, gs, gb, 32, 1e-6)), cw, cb)
+    if with_res:
+        ref = ref + res
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_gn_silu_conv3x3(x, gs, gb, cw, cb, residual=res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_resnet_block_matches_unfused():
+    """resnet_block(fused=True) == resnet_block(fused=False), including the
+    conv_shortcut channel-change path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.models.layers import init_resnet_block, resnet_block
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 128)), jnp.float32)
+    p = init_resnet_block(jax.random.key(0), 128, 256, None)
+    ref = resnet_block(p, x, None, eps=1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        out = resnet_block(p, x, None, eps=1e-6, fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
