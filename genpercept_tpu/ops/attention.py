@@ -49,8 +49,12 @@ def dot_product_attention(
     if use_flash is None:
         from genpercept_tpu.ops import flash_attention as fa
 
-        # long self-attention sequences only (short cross-attn over 77 text
-        # tokens fuses fine in XLA); kernel needs TPU (not the CPU backend)
+        # long self-attention sequences only: short cross-attn over 77 text
+        # tokens is FASTER in XLA (~0.5 ms vs 3 ms at Sq=9216 — the padded
+        # flash kernel's (1024,64)@(64,128) matmuls can't compete with one
+        # big fused XLA batch; use_flash=True still works via the padded
+        # masked-KV path when explicitly requested, e.g. to cap training
+        # memory). Kernel needs TPU (not the CPU backend).
         use_flash = (
             sq >= 2048
             and sk >= 2048

@@ -36,7 +36,7 @@ def _pick_block(s: int, cap: int,
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref,
-                  *, scale):
+                  *, scale, fold_rowsum, kv_valid=None):
     """Online-softmax step, tuned for the VPU-bound d=64 regime: the
     elementwise work on the (q_blk, k_blk) logits tile dominates the two
     64-deep MXU matmuls, so every per-logit op counts. Three cuts vs the
@@ -44,9 +44,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref,
       - base-2 softmax as one FMA + exp2 per logit: p = exp2(s*c - m*c) with
         c = scale*log2e (exp lowers to exp2+mul anyway); the running max m
         is tracked on RAW logits so no per-logit scale multiply exists;
-      - the row sum l rides the p@v matmul as an appended ones-column: d=64
-        already pads the MXU lane dim to 128, so the extra column is free,
-        and the separate VPU row-sum disappears;
+      - for small d (fold_rowsum=True) the row sum l rides the p@v matmul as
+        an appended ones-column: d=64 already pads the MXU lane dim to 128,
+        so the extra column is free, and the separate VPU row-sum
+        disappears. At d=512 the extra column forces a fifth 128-lane output
+        tile (+25% pv cost), so there the sum is a VPU reduce instead;
       - l lives inside the accumulator, so one alpha rescale covers both.
     lse is returned in BASE-2 units of the SCALED logits (m*c + log2 l);
     the backward kernels consume it with exp2."""
@@ -68,16 +70,32 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, acc_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (q_blk, k_blk) fp32, raw logits
+    if kv_valid is not None:
+        # cross-attention over padded KV (e.g. 77 text tokens padded to
+        # 128): kill the pad columns before the online softmax
+        col = ki * k_ref.shape[1] + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(col < kv_valid, s, _NEG_INF)
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp2(s * c - m_new * c).astype(v.dtype)  # FMA + exp2 per logit
     alpha = jnp.exp2((m_prev - m_new) * c)
     m_ref[:] = m_new
-    ones = jnp.ones((v.shape[0], 1), v.dtype)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, jnp.concatenate([v, ones], axis=1),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )  # (q_blk, d+1): weighted values | row sum
+    if fold_rowsum:
+        pv = jax.lax.dot_general(
+            p, jnp.concatenate([v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (q_blk, d+1): weighted values | row sum
+        acc_ref[:] = acc_ref[:] * alpha + pv
+    else:
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (q_blk, d) — exactly d/128 output tiles, no ones-column
+        acc_ref[:, :-1] = acc_ref[:, :-1] * alpha + pv
+        acc_ref[:, -1:] = acc_ref[:, -1:] * alpha + jnp.sum(
+            p.astype(jnp.float32), axis=-1, keepdims=True
+        )
 
     @pl.when(ki == nk - 1)
     def _finish():
@@ -92,21 +110,26 @@ def _blocks(sq: int, sk: int, d: int):
     # is VPU-bound on the per-logit softmax work (the two 64-deep matmuls
     # are ~1.4 us/block vs ~2.5 us of VPU time at 1024x1024), so block
     # choice mainly trades grid overhead vs VMEM; (1024, 1024) measured
-    # fastest at the 9216-token shape on v5e.
-    q_cap = 1024 if d <= 128 else 256
-    k_cap = 1024 if d <= 128 else 512
+    # fastest at the 9216-token shape on v5e. At d=512 (VAE mid), swept
+    # best is (512, 1024) with the separate VPU row-sum: 16.3 ms / 170
+    # TFLOP/s vs 22.4 ms for the old (256, 512)+ones-column config.
+    q_cap = 1024 if d <= 128 else 512
+    k_cap = 1024
     return _pick_block(sq, q_cap), _pick_block(sk, k_cap)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
+@functools.partial(jax.jit, static_argnames=("scale", "kv_valid"))
+def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float,
+                kv_valid: int | None = None):
     """qh: (BH, Sq, D); kh/vh: (BH, Sk, D) -> (out, lse2) with lse2 the
-    BASE-2 logsumexp of the natural-units logits (see _flash_kernel)."""
+    BASE-2 logsumexp of the natural-units logits (see _flash_kernel).
+    kv_valid: only the first kv_valid KV rows are real (rest is padding)."""
     bh, sq, d = qh.shape
     sk = kh.shape[1]
     q_blk, k_blk = _blocks(sq, sk, d)
     grid = (bh, sq // q_blk, sk // k_blk)
-    kernel = functools.partial(_flash_kernel, scale=scale)
+    kernel = functools.partial(_flash_kernel, scale=scale,
+                               fold_rowsum=d <= 128, kv_valid=kv_valid)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -141,7 +164,7 @@ def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float):
 # ------------------------------------------------------------- backward
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
-                         dq_ref, acc_ref, *, scale):
+                         dq_ref, acc_ref, *, scale, kv_valid=None):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -163,6 +186,15 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     p = jnp.exp2(s * c - lse2[:, None])
+    if kv_valid is not None:
+        # zero-padded K gives s=0 -> p=exp2(-lse) != 0 on pad columns;
+        # mask so ds (hence dq) ignores them. The dk/dv kernel needs no
+        # mask: its pad-row outputs are finite garbage sliced off by the
+        # caller.
+        col = ki * k_ref.shape[1] + jax.lax.broadcasted_iota(
+            jnp.int32, p.shape, 1
+        )
+        p = jnp.where(col < kv_valid, p, 0.0)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -218,8 +250,9 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _flash_bwd_bhsd(qh, kh, vh, oh, do, lse, scale: float):
+@functools.partial(jax.jit, static_argnames=("scale", "kv_valid"))
+def _flash_bwd_bhsd(qh, kh, vh, oh, do, lse, scale: float,
+                    kv_valid: int | None = None):
     bh, sq, d = qh.shape
     sk = kh.shape[1]
     q_blk, k_blk = _blocks(sq, sk, d)
@@ -227,7 +260,8 @@ def _flash_bwd_bhsd(qh, kh, vh, oh, do, lse, scale: float):
                    keepdims=True)
 
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        functools.partial(_flash_bwd_dq_kernel, scale=scale,
+                          kv_valid=kv_valid),
         grid=(bh, sq // q_blk, sk // k_blk),
         in_specs=[
             pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
@@ -277,13 +311,12 @@ def _flash_bwd_bhsd(qh, kh, vh, oh, do, lse, scale: float):
 
 
 def supported(sq: int, sk: int, d: int) -> bool:
-    q_cap = 512 if d <= 128 else 256
-    k_cap = 1024 if d <= 128 else 512
-    return (
-        _pick_block(sq, q_cap) is not None
-        and _pick_block(sk, k_cap) is not None
-        and d in (64, 128, 256, 512)
-    )
+    """True if flash_attention handles (sq, sk, d) — directly or by padding
+    short KV up to the 128 tile."""
+    if sk % 128 != 0 or _pick_block(sk, 1024) is None:
+        sk = max(128, -(-sk // 128) * 128)
+    q_blk, k_blk = _blocks(sq, sk, d)
+    return q_blk is not None and k_blk is not None and d in (64, 128, 256, 512)
 
 
 def _to_bhsd(x, b, s, h, d):
@@ -298,27 +331,27 @@ def _from_bhsd(x, b, s, h, d):
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-def _flash_fwd_impl(q, k, v, scale: float):
+def _flash_fwd_impl(q, k, v, scale: float, kv_valid: int | None):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     out, lse = _flash_bhsd(
         _to_bhsd(q, b, sq, h, d), _to_bhsd(k, b, sk, h, d),
-        _to_bhsd(v, b, sk, h, d), scale,
+        _to_bhsd(v, b, sk, h, d), scale, kv_valid,
     )
     return _from_bhsd(out, b, sq, h, d), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_diff(q, k, v, scale: float):
-    return _flash_fwd_impl(q, k, v, scale)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_diff(q, k, v, scale: float, kv_valid: int | None):
+    return _flash_fwd_impl(q, k, v, scale, kv_valid)[0]
 
 
-def _flash_diff_fwd(q, k, v, scale):
-    out, lse = _flash_fwd_impl(q, k, v, scale)
+def _flash_diff_fwd(q, k, v, scale, kv_valid):
+    out, lse = _flash_fwd_impl(q, k, v, scale, kv_valid)
     return out, (q, k, v, out, lse)
 
 
-def _flash_diff_bwd(scale, res, g):
+def _flash_diff_bwd(scale, kv_valid, res, g):
     """Flash backward as two Pallas passes (dq; dk+dv), using the saved
     logsumexp — the (Sq x Sk) probability matrix never materializes in HBM
     in either direction."""
@@ -328,7 +361,7 @@ def _flash_diff_bwd(scale, res, g):
     dq, dk, dv = _flash_bwd_bhsd(
         _to_bhsd(q, b, sq, h, d), _to_bhsd(k, b, sk, h, d),
         _to_bhsd(v, b, sk, h, d), _to_bhsd(out, b, sq, h, d),
-        _to_bhsd(g, b, sq, h, d), lse, scale,
+        _to_bhsd(g, b, sq, h, d), lse, scale, kv_valid,
     )
     return (
         _from_bhsd(dq, b, sq, h, d),
@@ -344,11 +377,25 @@ def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None
 ) -> jax.Array:
     """q: (B, Sq, H, D), k/v: (B, Sk, H, D) -> (B, Sq, H, D). Differentiable
-    (flash forward; recomputed dense backward)."""
+    (flash forward; flash backward with saved logsumexp).
+
+    Short KV (cross-attention over 77 text tokens) is zero-padded to the
+    128-lane tile and masked inside the kernel with a static kv_valid, so
+    the (Sq x Sk) probability tensor never hits HBM in either direction
+    (reference relies on xformers for this, genpercept_trainer.py:235)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, sq, h, d = q.shape
     sk = k.shape[1]
+    kv_valid = None
+    if sk % 128 != 0 or _pick_block(sk, 1024) is None:
+        sk_pad = max(128, -(-sk // 128) * 128)
+        if _pick_block(sk_pad, 1024) is not None:
+            pad = [(0, 0), (0, sk_pad - sk), (0, 0), (0, 0)]
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+            kv_valid, sk = sk, sk_pad
     if not supported(sq, sk, d):
         raise ValueError(f"flash_attention unsupported shape {(sq, sk, d)}")
-    return _flash_diff(q, k, v, scale)
+    out = _flash_diff(q, k, v, scale, kv_valid)
+    return out

@@ -229,6 +229,7 @@ def test_nearest_up2_conv3x3_grad():
         (256, 256, 2, 64),   # UNet self-attention shape class
         (256, 128, 2, 64),   # Sq != Sk
         (128, 256, 1, 512),  # VAE mid-block: one head, head_dim 512
+        (256, 77, 2, 64),    # cross-attention: KV padded to 128 + masked
     ],
 )
 def test_flash_attention_backward_matches_xla(sq, sk, h, d):
@@ -259,6 +260,24 @@ def test_flash_attention_backward_matches_xla(sq, sk, h, d):
             np.asarray(ours), np.asarray(ref), atol=2e-3, rtol=1e-3,
             err_msg=name,
         )
+
+
+def test_flash_attention_padded_kv_forward():
+    """Masked padded-KV forward (77 text tokens -> 128 tile) equals dense
+    softmax attention exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(2, 256, 3, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 77, 3, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 77, 3, 64)), jnp.float32)
+    assert fa.supported(256, 77, 64)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(q, k, v)
+    ref = dot_product_attention(q, k, v, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 @pytest.mark.parametrize("co,with_res", [(128, False), (128, True), (256, False)])
