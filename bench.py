@@ -23,12 +23,16 @@ RES = 768
 
 
 def main():
+    import os
+
     from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
     from genpercept_tpu.utils.batchsize import find_batch_size
     from __graft_entry__ import _flagship_models
 
     on_tpu = jax.devices()[0].platform != "cpu"
     batch = find_batch_size(1, RES, "bfloat16") if on_tpu else 1
+    if os.environ.get("BENCH_BATCH"):  # experimentation override
+        batch = int(os.environ["BENCH_BATCH"])
     res = RES if on_tpu else 128  # CPU fallback keeps the script runnable
 
     models = _flagship_models(jnp.bfloat16)

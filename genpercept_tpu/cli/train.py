@@ -34,7 +34,35 @@ def build_parser():
                    help="shard optimizer state across the data mesh axis "
                         "(ZeRO-1; the reference's DeepSpeed hook, "
                         "accelerate_train.py:198-202)")
+    # multi-host (DCN) orchestration — replaces Accelerate's
+    # torch.distributed env handling (accelerate_train.py:52-56)
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 for jax.distributed; "
+                        "omit on SLURM/TPU pods (auto-detected)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() with "
+                        "auto-detection (SLURM / TPU pod metadata)")
     return p
+
+
+def maybe_init_distributed(args) -> None:
+    """Initialize jax.distributed for multi-host training when requested.
+
+    Must run before any JAX backend/device call. Three triggers: explicit
+    --coordinator_address, explicit --multihost (SLURM/TPU-pod
+    auto-detection), or SLURM_NTASKS > 1."""
+    import jax
+
+    if args.coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    elif args.multihost or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1:
+        jax.distributed.initialize()
 
 
 def resolve_train_config(cfg, grad_accum_steps: int = 1, mode: str = None):
@@ -189,6 +217,7 @@ def main(argv=None):
     from genpercept_tpu.utils.seeding import seed_all
 
     args = build_parser().parse_args(argv)
+    maybe_init_distributed(args)  # before any device/backend call
     cfg = recursive_load_config(args.config)
     config_logging(cfg.get("logging"), out_dir=args.output_dir)
     logging.info(f"config: {args.config}")
@@ -241,7 +270,14 @@ def main(argv=None):
         datasets, batch_size=max_bs * n_data * accum, prob=prob_ls,
         generator=np.random.default_rng(seed),
     )
-    train_loader = DataLoader(concat, sampler)
+    # multi-host: every process iterates the SAME seeded sampler stream and
+    # loads only its slice of each global batch; put_global_batch assembles
+    # the global sharded array (parallel/mesh.py)
+    shard = (
+        (jax.process_index(), jax.process_count(), accum)
+        if jax.process_count() > 1 else None
+    )
+    train_loader = DataLoader(concat, sampler, shard=shard)
 
     def _eval_loaders(key):
         out = {}

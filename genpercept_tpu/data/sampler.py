@@ -100,13 +100,43 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
     return out
 
 
-class DataLoader:
-    """Background-thread prefetching loader over (dataset, batch_sampler)."""
+def shard_batch_indices(
+    idx: List[int], accum: int, world: int, rank: int
+) -> List[int]:
+    """Per-process slice of one GLOBAL flat batch (multi-host data
+    parallelism). The flat batch has length accum * micro_global; the
+    jitted step reshapes it to (accum, micro_global, ...) and shards the
+    micro axis over the 'data' mesh axis, so each process must hold, within
+    every accum chunk, its contiguous micro-slice. All processes iterate
+    the SAME seeded sampler stream (seed_all with a shared seed), so the
+    global index sequence is identical everywhere and slicing is
+    deterministic."""
+    n = len(idx)
+    micro_g = n // accum
+    assert micro_g * accum == n and micro_g % world == 0, (n, accum, world)
+    per = micro_g // world
+    out: List[int] = []
+    for a in range(accum):
+        chunk = idx[a * micro_g : (a + 1) * micro_g]
+        out.extend(chunk[rank * per : (rank + 1) * per])
+    return out
 
-    def __init__(self, dataset, batch_sampler, prefetch: int = 2):
+
+class DataLoader:
+    """Background-thread prefetching loader over (dataset, batch_sampler).
+
+    `shard=(rank, world, accum)` makes this a multi-host data-parallel
+    loader: the sampler yields GLOBAL batches (same stream on every host),
+    and only this process's slice is loaded/decoded/collated (see
+    shard_batch_indices). The reference's equivalent is Accelerate's
+    per-rank DataLoader sharding (accelerate_train.py:186-196)."""
+
+    def __init__(self, dataset, batch_sampler, prefetch: int = 2,
+                 shard: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.prefetch = prefetch
+        self.shard = shard
 
     def __len__(self):
         return len(self.batch_sampler)
@@ -128,6 +158,11 @@ class DataLoader:
                 for bi, batch_idx in enumerate(self.batch_sampler):
                     if bi < skip_n:
                         continue
+                    if self.shard is not None:
+                        rank, world, accum = self.shard
+                        batch_idx = shard_batch_indices(
+                            list(batch_idx), accum, world, rank
+                        )
                     q.put(collate([self.dataset[i] for i in batch_idx]))
             finally:
                 q.put(stop)

@@ -176,26 +176,41 @@ def vae_encode(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
 
 
 def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE,
-               fused: bool = False) -> jax.Array:
+               fused: bool = False, remat: bool = False) -> jax.Array:
     """z: (N, h, w, 4) scaled latent -> (N, 8h, 8w, 3).
-    Matches reference `decode_pred` up to the task-specific channel mean."""
+    Matches reference `decode_pred` up to the task-specific channel mean.
+
+    remat=True checkpoints each resblock/attention/upsampler (training path
+    where gradients flow THROUGH the frozen decoder into the UNet): only
+    block-boundary activations are saved for the backward, each block's
+    interior is recomputed — without this the decoder backward holds every
+    768^2-level tensor at once (~4+ GB at batch 2 on top of optimizer
+    state, OOMing the 16 GB v5e)."""
     from genpercept_tpu.ops.conv import conv1x1
+
+    import functools
+
+    def ckpt(fn):
+        return jax.checkpoint(fn) if remat else fn
+
+    rb = ckpt(functools.partial(resnet_block, temb=None, eps=1e-6, fused=fused))
+    attn = ckpt(vae_attention)
+    up = ckpt(upsample2d)
 
     z = z / cfg.scaling_factor
     z = conv1x1(z, p["post_quant_conv"]["weight"][0, 0], p["post_quant_conv"].get("bias"))
     dec = p["decoder"]
     h = conv(dec["conv_in"], z)
     mid = dec["mid_block"]
-    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6, fused=fused)
-    h = vae_attention(mid["attentions"]["0"], h)
-    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6, fused=fused)
+    h = rb(mid["resnets"]["0"], h)
+    h = attn(mid["attentions"]["0"], h)
+    h = rb(mid["resnets"]["1"], h)
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
         blk = dec["up_blocks"][str(i)]
         for j in range(cfg.layers_per_block + 1):
-            h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6,
-                             fused=fused)
+            h = rb(blk["resnets"][str(j)], h)
         if "upsamplers" in blk:
-            h = upsample2d(blk["upsamplers"]["0"], h)
+            h = up(blk["upsamplers"]["0"], h)
     return _gn_silu_conv(h, dec["conv_norm_out"], dec["conv_out"],
                          cfg.norm_num_groups, fused)

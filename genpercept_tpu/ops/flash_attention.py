@@ -250,12 +250,24 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _blocks_bwd(sq: int, sk: int, d: int):
+    # The backward kernels hold more live VMEM per grid step than the
+    # forward (dk+dv fp32 accumulators + both operand streams), and in
+    # training they can run on fp32 operands: the forward's tuned
+    # (512, 1024) blocks at d=512 blow the 16 MB scoped-vmem budget there
+    # (measured: 20 MB for the dkv kernel). Keep the smaller, known-safe
+    # caps on the backward path — it is off the inference hot path.
+    q_cap = 512 if d <= 128 else 256
+    k_cap = 1024 if d <= 128 else 512
+    return _pick_block(sq, q_cap), _pick_block(sk, k_cap)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "kv_valid"))
 def _flash_bwd_bhsd(qh, kh, vh, oh, do, lse, scale: float,
                     kv_valid: int | None = None):
     bh, sq, d = qh.shape
     sk = kh.shape[1]
-    q_blk, k_blk = _blocks(sq, sk, d)
+    q_blk, k_blk = _blocks_bwd(sq, sk, d)
     dsum = jnp.sum(do.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1,
                    keepdims=True)
 

@@ -1,6 +1,7 @@
 from genpercept_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    put_global_batch,
     replicate,
     shard_opt_state_zero1,
     shard_params_tp,
@@ -9,6 +10,7 @@ from genpercept_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "put_global_batch",
     "replicate",
     "shard_opt_state_zero1",
     "shard_params_tp",

@@ -52,6 +52,33 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global_batch(batch: Dict[str, Any], mesh: Mesh,
+                     batch_axis: int = 0) -> Dict[str, Any]:
+    """Place a host batch onto the mesh with the batch axis sharded over
+    'data'.
+
+    Single-process: a plain device_put. Multi-host (jax.distributed
+    initialized, mesh spanning processes over DCN): each process passes its
+    LOCAL slice of the global batch (see data/sampler.py
+    shard_batch_indices) and the global array is assembled with
+    jax.make_array_from_process_local_data — the TPU-native replacement for
+    Accelerate's per-rank DataLoader + DDP input scatter
+    (accelerate_train.py:186-196)."""
+    sh = batch_sharding(mesh, batch_axis)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sh)
+
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = list(x.shape)
+        gshape[batch_axis] = x.shape[batch_axis] * nproc
+        return jax.make_array_from_process_local_data(sh, x, tuple(gshape))
+
+    return {k: put(v) for k, v in batch.items()}
+
+
 # --------------------------------------------------------------- TP layout
 
 def _tp_spec_for(path: str, ndim: int) -> P:

@@ -193,7 +193,10 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
                     sched_cfg, sched, v, jnp.broadcast_to(t, (rgb.shape[0],)),
                     pred_latent, cfg.denoising_steps,
                 )
-            pred_latent = pred_x0
+                # ddim_step mixes f32 scheduler coefficients, which would
+                # silently promote every later UNet pass + the decode to f32
+                pred_latent = pred_latent.astype(compute_dtype)
+            pred_latent = pred_x0.astype(compute_dtype)
 
         decoded = vae_decode(params["vae"], pred_latent, vae_cfg, fused=fused)
         if task.channel_mean:

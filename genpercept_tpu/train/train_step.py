@@ -82,6 +82,11 @@ class TrainConfig:
     # rematerialize the UNet forward in backward (trades FLOPs for HBM,
     # enabling larger per-chip batch — jax.checkpoint)
     remat_unet: bool = False
+    # per-block remat of the VAE decode inside pixel losses: the decoder's
+    # backward otherwise holds every 768^2-level activation simultaneously
+    # (~4+ GB at batch 2), which together with optimizer state OOMs the
+    # 16 GB chip. Costs one extra decoder forward per step.
+    remat_vae_decode: bool = True
 
     scheduler: SchedulerConfig = GENPERCEPT_SCHEDULER
 
@@ -176,7 +181,12 @@ def build_loss_fn(cfg: TrainConfig, models):
             else:
                 noise = jax.random.normal(nkey, gt_latent.shape, cfg.compute_dtype)
 
-        noisy = add_noise(sched, gt_latent, noise, t)
+        # add_noise/get_velocity mix in f32 scheduler coefficients, which
+        # silently PROMOTES the whole downstream UNet + VAE-decode graph to
+        # f32 (2x the activation memory and half the MXU rate) — cast back
+        # to the compute dtype at the boundary. The target stays f32: it
+        # only feeds the (f32) latent losses, never the network.
+        noisy = add_noise(sched, gt_latent, noise, t).astype(cfg.compute_dtype)
         target = get_velocity(sched, gt_latent, noise, t)
         unet_in = (
             jnp.concatenate([rgb_latent, noisy], axis=-1)
@@ -225,7 +235,8 @@ def build_loss_fn(cfg: TrainConfig, models):
                             if not n.startswith("latent")]
             if not pixel_losses:
                 return total, aux
-            decoded = vae_decode(params["vae"], -v, vae_cfg)  # grads flow
+            decoded = vae_decode(params["vae"], -v, vae_cfg,
+                                 remat=cfg.remat_vae_decode)  # grads flow
             pred_px = jnp.mean(decoded, axis=-1) if cfg.mode == "depth" else decoded
 
         # pixel-space losses (reference :760-805)

@@ -102,7 +102,12 @@ class Trainer:
                     if hasattr(x, "shape") else x,
                     self.opt_state,
                 )
-        self.step_fn = jax.jit(build_train_step(cfg, models, self.tx))
+        # donate (trainable, opt_state): without donation the step holds the
+        # old AND new ~10 GB master/optimizer state simultaneously — an
+        # instant OOM for full-UNet training on a 16 GB chip
+        self.step_fn = jax.jit(
+            build_train_step(cfg, models, self.tx), donate_argnums=(0, 2)
+        )
 
         self.effective_iter = 0
         self.epoch = 0
@@ -141,10 +146,12 @@ class Trainer:
                 for k, v in batch.items()
             }
         if self.mesh is not None:
-            from genpercept_tpu.parallel import batch_sharding
+            from genpercept_tpu.parallel import put_global_batch
 
             axis = 1 if self.cfg.grad_accum_steps > 1 else 0
-            batch = jax.device_put(batch, batch_sharding(self.mesh, axis))
+            # single-process: device_put; multi-host: assemble the global
+            # array from this process's loader slice
+            batch = put_global_batch(batch, self.mesh, axis)
         return batch
 
     # --------------------------------------------------------------- train
