@@ -44,6 +44,11 @@ def build_parser():
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() with "
                         "auto-detection (SLURM / TPU pod metadata)")
+    p.add_argument("--bf16_masters", action="store_true",
+                   help="keep TRAINABLE master weights in bf16 (saves "
+                        "1.7 GB for the SD2.1 UNet; required for full-UNet "
+                        "768^2 training on one 16 GB chip — on a pod "
+                        "slice prefer fp32 masters + --zero1)")
     return p
 
 
@@ -294,6 +299,18 @@ def main(argv=None):
     models = load_genpercept_checkpoint(args.checkpoint, mode)
     apply_model_overrides(cfg, models, seed)
     train_cfg = resolve_train_config(cfg, grad_accum_steps=accum, mode=mode)
+    if args.bf16_masters:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(train_cfg, master_dtype=jnp.bfloat16)
+    elif (jax.device_count() == 1 and train_cfg.train_unet
+          and not train_cfg.unet_lora_rank):
+        logging.warning(
+            "full-UNet training with fp32 masters on a single chip needs "
+            "~15+ GB of master/optimizer state alone — pass --bf16_masters "
+            "(the configuration benchmarked at 774 ms/step on one v5e) or "
+            "run on a pod slice with --zero1"
+        )
     if train_cfg.arch == "marigold" and models.unet_cfg.in_channels == 4:
         # marigold concatenates [rgb_latent, noisy] -> 8-ch conv_in surgery
         # (genpercept_trainer.py:539-558)

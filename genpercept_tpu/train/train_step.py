@@ -74,6 +74,11 @@ class TrainConfig:
     # bf16 first moment halves optimizer HBM (v5e has 16 GB vs the
     # reference's 80 GB H100s); second moment stays fp32
     adam_mu_dtype: Optional[Any] = None
+    # master-weight dtype for TRAINABLE params (None = keep checkpoint
+    # dtype). bf16 masters save 1.7 GB for the full SD2.1 UNet and are what
+    # makes full-UNet 768^2 training fit on one 16 GB chip; on a pod slice,
+    # prefer fp32 masters + --zero1 (sharded optimizer) instead.
+    master_dtype: Optional[Any] = None
     grad_accum_steps: int = 1
     train_unet: bool = True
     train_dpt_head: bool = True
@@ -347,6 +352,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def init_train_state(params: Dict, cfg: TrainConfig, rng=None):
     trainable, frozen = split_trainable(params, cfg, rng)
+    if cfg.master_dtype is not None:
+        trainable = jax.tree.map(
+            lambda x: x.astype(cfg.master_dtype), trainable
+        )
     tx = make_optimizer(cfg)
     opt_state = tx.init(trainable)
     return trainable, frozen, tx, opt_state

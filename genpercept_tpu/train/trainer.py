@@ -81,6 +81,16 @@ class Trainer:
         self.trainable, self.frozen, self.tx, self.opt_state = init_train_state(
             params, cfg
         )
+        if self.cfg.compute_dtype == jnp.bfloat16:
+            # frozen subtrees (VAE, text embed) carry no optimizer state and
+            # every matmul casts weights to the activation dtype anyway —
+            # storing them bf16 saves HBM with per-op-identical numerics
+            # (only fp32-stored GN affine params lose storage precision)
+            self.frozen = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.frozen,
+            )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -33,6 +33,10 @@ def main():
     # backward's held activations OOM the 16 GB HBM
     ap.add_argument("--no_remat", dest="remat", action="store_false")
     ap.set_defaults(remat=True)
+    # production cli.train loads fp32 master weights (bf16 is this bench's
+    # default to mirror the memory-lean config); use --fp32_masters to
+    # measure the exact production dtype mix (fp32 masters, bf16 compute)
+    ap.add_argument("--fp32_masters", action="store_true")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_models
@@ -42,7 +46,9 @@ def main():
         init_train_state,
     )
 
-    models = _flagship_models(jnp.bfloat16)
+    models = _flagship_models(
+        jnp.float32 if args.fp32_masters else jnp.bfloat16
+    )
     cfg = TrainConfig(
         loss_names=("mse", "ssi", "grad"),
         fix_timesteps=1,

@@ -216,6 +216,82 @@ def main():
                               "floor_ms_819gbps": round(gb / 819 * 1e3, 2)}),
                   flush=True)
 
+    if args.part in ("nomax",):
+        # d=64 flash with the running max replaced by a static clamp
+        # (exp2 of clamped logits, fp32 accumulation cannot overflow below
+        # clamp 110): measures the VPU cost of online max tracking.
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, *, scale):
+            ki = pl.program_id(2)
+            nk = pl.num_programs(2)
+
+            @pl.when(ki == 0)
+            def _init():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+            c = scale * 1.4426950408889634
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp2(jnp.minimum(s * c, 110.0)).astype(v.dtype)
+            ones = jnp.ones((v.shape[0], 1), v.dtype)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p, jnp.concatenate([v, ones], axis=1),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(ki == nk - 1)
+            def _finish():
+                o_ref[0] = (acc_ref[:, :-1] / acc_ref[:, -1:]).astype(o_ref.dtype)
+
+        def build(q_blk, k_blk, d):
+            kfn = ft.partial(kernel, scale=d ** -0.5)
+
+            def fn(p, x):
+                bh, sq, _ = x.shape
+                return pl.pallas_call(
+                    kfn,
+                    grid=(bh, sq // q_blk, sq // k_blk),
+                    in_specs=[
+                        pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0), memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0), memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                    scratch_shapes=[pltpu.VMEM((q_blk, d + 1), jnp.float32)],
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "parallel", "arbitrary"),
+                    ),
+                )(x * p, x, x)
+
+            return fn
+
+        s, heads, d = 9216, 5, 64
+        qh = jax.random.normal(jax.random.key(2), (b * heads, s, d), bf)
+        fl = 4 * b * heads * s * s * d
+        for q_blk, k_blk in ((1024, 1024), (512, 1024), (1024, 1536)):
+            if s % q_blk or s % k_blk:
+                continue
+            fn = build(q_blk, k_blk, d)
+            try:
+                dt = marginal_time(fn, jnp.ones((), bf), qh)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"op": f"nomax_{q_blk}x{k_blk}",
+                                  "error": str(e)[:90]}), flush=True)
+                continue
+            print(json.dumps({"op": f"nomax_{q_blk}x{k_blk}",
+                              "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}), flush=True)
+
     if args.part in ("resblock_chain",):
         # full VAE resblock, output chained to input (true in-situ cost,
         # nothing hoistable); floor = 2 convs at 206 TFLOP/s + 2 GN at BW
