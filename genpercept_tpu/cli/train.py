@@ -55,9 +55,11 @@ def build_parser():
 def maybe_init_distributed(args) -> None:
     """Initialize jax.distributed for multi-host training when requested.
 
-    Must run before any JAX backend/device call. Three triggers: explicit
-    --coordinator_address, explicit --multihost (SLURM/TPU-pod
-    auto-detection), or SLURM_NTASKS > 1."""
+    Must run before any JAX backend/device call. Triggers are EXPLICIT
+    only: --coordinator_address, or --multihost (SLURM/TPU-pod
+    auto-detection). No bare SLURM_NTASKS sniffing — a single-launch job
+    inside a multi-task SLURM allocation (tasks reserved for dataloading)
+    would block forever waiting for peers that never start."""
     import jax
 
     if args.coordinator_address:
@@ -66,7 +68,7 @@ def maybe_init_distributed(args) -> None:
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
-    elif args.multihost or int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1:
+    elif args.multihost:
         jax.distributed.initialize()
 
 
@@ -139,6 +141,13 @@ def resolve_train_config(cfg, grad_accum_steps: int = 1, mode: str = None):
                       "latent_mse": "latent_mse",
                       "l1_loss": "latent_l1", "l1_loss_with_mask": "latent_l1",
                       "mean_abs_rel": "latent_mean_abs_rel"}
+        unknown = [n for n in raw_losses if n not in latent_map]
+        if unknown:
+            raise ValueError(
+                f"unsupported latent loss name(s) {unknown} with "
+                f"customized_loss: false — supported: {sorted(latent_map)} "
+                "(pixel-space losses like ssi/grad need customized_loss: true)"
+            )
         losses = tuple(latent_map[n] for n in raw_losses)
     mrn = cfg.get_path("multi_res_noise")
     return TrainConfig(
@@ -234,13 +243,17 @@ def main(argv=None):
     import yaml
 
     os.makedirs(args.output_dir, exist_ok=True)
-    with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
-        yaml.safe_dump(dict(cfg), f)
-    if not args.resume_run:
-        snap = os.path.join(args.output_dir, "code_snapshot.tar.gz")
-        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with tarfile.open(snap, "w:gz") as tar:
-            tar.add(pkg_root, arcname="genpercept_tpu")
+    # run artifacts are process-0-only: on a shared FS every process would
+    # otherwise write the same config.yaml / tarball concurrently
+    if jax.process_index() == 0:
+        with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(dict(cfg), f)
+        if not args.resume_run:
+            snap = os.path.join(args.output_dir, "code_snapshot.tar.gz")
+            pkg_root = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))
+            with tarfile.open(snap, "w:gz") as tar:
+                tar.add(pkg_root, arcname="genpercept_tpu")
 
     seed = args.seed if args.seed is not None else cfg.get("trainer", {}).get("init_seed", 0)
     seed_all(seed)

@@ -154,6 +154,10 @@ class DataLoader:
         stop = object()
 
         def worker():
+            # exceptions (decode errors, collate shape mismatches, shard
+            # asserts) must reach the CONSUMER — a silently dead worker
+            # would end iteration cleanly and turn a data bug into an
+            # infinite zero-batch training loop
             try:
                 for bi, batch_idx in enumerate(self.batch_sampler):
                     if bi < skip_n:
@@ -164,6 +168,8 @@ class DataLoader:
                             list(batch_idx), accum, world, rank
                         )
                     q.put(collate([self.dataset[i] for i in batch_idx]))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
             finally:
                 q.put(stop)
 
@@ -173,6 +179,8 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

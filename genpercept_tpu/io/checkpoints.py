@@ -217,21 +217,39 @@ def save_train_checkpoint(
     rotate_backup: bool = True,
 ) -> str:
     """Save {trainable, opt_state, step, ...} under out_dir/name with the
-    reference's `_old_` backup rotation (genpercept_trainer.py:1256-1304)."""
+    reference's `_old_` backup rotation (genpercept_trainer.py:1256-1304).
+
+    Multi-host: ALL processes must call this (orbax coordinates shard
+    writes internally), but the directory rotation runs on process 0 only,
+    fenced by global barriers — concurrent rename/rmtree from several
+    hosts on a shared filesystem would race and corrupt the rotation."""
+    import jax
+
+    multi = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+
+    def _barrier(tag):
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
     os.makedirs(out_dir, exist_ok=True)
     path = osp.abspath(osp.join(out_dir, name))
     backup = osp.join(out_dir, f"_old_{name}")
-    if osp.exists(path):
+    if is_main and osp.exists(path):
         if rotate_backup:
             if osp.exists(backup):
                 shutil.rmtree(backup)
             os.rename(path, backup)
         else:
             shutil.rmtree(path)
+    _barrier("genpercept_ckpt_rotated")
     handler = _ckpt_handler()
     handler.save(path, state)
     handler.wait_until_finished()  # async save: block until files are on disk
-    if rotate_backup and osp.exists(backup):
+    _barrier("genpercept_ckpt_saved")
+    if is_main and rotate_backup and osp.exists(backup):
         shutil.rmtree(backup)
     return path
 

@@ -103,6 +103,10 @@ def supported(x_shape, co: int, temb=None) -> bool:
         and h % _TH == 0
         and h >= 2 * _TH
         and c % 128 == 0
+        # output channels must fill lane tiles too: the final conv_out
+        # layers (co=3 decoder / co=8 encoder moments) would emit
+        # 1/42nd-full output tiles — leave those to XLA
+        and co % 128 == 0
         and w % 8 == 0
     )
 

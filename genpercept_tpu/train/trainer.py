@@ -48,6 +48,16 @@ GT_KEYS = {
 }
 
 
+class _NullMetricsLogger:
+    """No-op logger for non-zero processes in multi-host runs."""
+
+    def log_scalar(self, tag, value, step):
+        pass
+
+    def log_dict(self, d, step, prefix=""):
+        pass
+
+
 class Trainer:
     def __init__(
         self,
@@ -125,7 +135,12 @@ class Trainer:
         # reproducible per-iteration rng stream, replayed on resume
         # (seeding.py:37-54 / genpercept_trainer.py:1245-1254)
         self.seed_sequence = generate_seed_sequence(main_seed, max_iter + 1)
-        self.metrics_logger = MetricsLogger(out_dir)
+        # metrics files are process-0-only: every host sharing out_dir
+        # would interleave writes into the same metrics.jsonl
+        self.metrics_logger = (
+            MetricsLogger(out_dir) if jax.process_index() == 0
+            else _NullMetricsLogger()
+        )
         os.makedirs(out_dir, exist_ok=True)
 
     # ------------------------------------------------------------- batching
@@ -209,7 +224,20 @@ class Trainer:
 
     def _periodic_callbacks(self):
         if self.save_period and self.effective_iter % self.save_period == 0:
-            self.save_checkpoint("latest")
+            self.save_checkpoint("latest")  # all processes (orbax collective)
+        if jax.process_count() > 1:
+            # validation/visualization fetch full predictions to one host —
+            # not addressable when params/batches shard across processes;
+            # run them offline via cli.infer/cli.eval on the checkpoints
+            if (self.val_period or self.vis_period) \
+                    and not getattr(self, "_warned_mh_val", False):
+                logger.warning(
+                    "multi-host run: in-loop validation/visualization are "
+                    "skipped (evaluate checkpoints offline with "
+                    "cli.infer + cli.eval)"
+                )
+                self._warned_mh_val = True
+            return
         if self.val_period and self.effective_iter % self.val_period == 0:
             self.validate()
         if self.vis_period and self.effective_iter % self.vis_period == 0:

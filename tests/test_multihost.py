@@ -46,6 +46,26 @@ def test_put_global_batch_single_process_matches_device_put():
         np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
 
 
+def test_dataloader_propagates_worker_exceptions():
+    """A decode/collate error in the prefetch thread must RAISE in the
+    consumer — a silently dead worker would end iteration cleanly and turn
+    a data bug into an infinite zero-batch training loop."""
+
+    class BadDs:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("corrupt sample")
+
+    loader = DataLoader(BadDs(), [[0, 1]])
+    try:
+        list(loader)
+        raise AssertionError("expected ValueError from worker")
+    except ValueError as e:
+        assert "corrupt sample" in str(e)
+
+
 def test_dataloader_shard_loads_only_local_slice():
     """A sharded DataLoader touches only this rank's indices and yields the
     correctly ordered local flat batch."""
