@@ -28,7 +28,8 @@ _LOG2E = 1.4426950408889634
 
 
 def _pick_block(s: int, cap: int,
-                candidates=(1536, 1024, 768, 512, 384, 256, 128, 64)) -> int | None:
+                candidates=(1536, 1152, 1024, 768, 576, 512, 384, 256, 128,
+                            64)) -> int | None:
     for b in candidates:
         if b <= cap and s % b == 0:
             return b
@@ -113,9 +114,18 @@ def _blocks(sq: int, sk: int, d: int):
     # fastest at the 9216-token shape on v5e. At d=512 (VAE mid), swept
     # best is (512, 1024) with the separate VPU row-sum: 16.3 ms / 170
     # TFLOP/s vs 22.4 ms for the old (256, 512)+ones-column config.
-    q_cap = 1024 if d <= 128 else 512
-    k_cap = 1024
-    return _pick_block(sq, q_cap), _pick_block(sk, k_cap)
+    if d <= 128:
+        # v5e-swept at the UNet shapes (scripts/profile_unet.py --part
+        # blocks): s=9216 h5 — (1152, 1536) 22.2 ms vs (1024, 1024) 23.8;
+        # s=2304 h10 — k=2304 (a single k step drops the online-softmax
+        # rescale chain entirely) with q=768: 3.1 ms vs (768, 768) 4.35.
+        # q=1152 at k=2304 measured faster standalone (2.96) but its
+        # 16.4 MB scoped-VMEM footprint fails to compile inside larger
+        # programs; (1536, 1536) collapses to 25 TF/s.
+        if sk == 2304:
+            return _pick_block(sq, 768), sk
+        return _pick_block(sq, 1152), _pick_block(sk, 1536)
+    return _pick_block(sq, 512), _pick_block(sk, 1024)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "kv_valid"))

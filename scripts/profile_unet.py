@@ -55,7 +55,8 @@ def flash_with_blocks(q_blk, k_blk):
         bh, sq, d = qh.shape
         sk = kh.shape[1]
         grid = (bh, sq // q_blk, sk // k_blk)
-        kernel = functools.partial(_flash_kernel, scale=scale)
+        kernel = functools.partial(_flash_kernel, scale=scale,
+                                   fold_rowsum=d <= 128)
         out, _ = pl.pallas_call(
             kernel,
             grid=grid,
@@ -123,13 +124,46 @@ def main():
             print(json.dumps({"op": f"flash_s{s}_h{heads}", "ms": round(dt * 1e3, 2),
                               "tflops": round(fl / dt / 1e12, 1)}))
 
-    if args.part in ("blocks", "all"):
-        s, heads, d = 9216, 5, 64
-        qh = jax.random.normal(jax.random.key(2), (b * heads, s, d), bf)
-        for q_blk, k_blk in ((1024, 1024), (768, 768), (512, 512),
-                             (1152, 1152), (768, 1024), (1024, 768),
-                             (512, 768), (576, 576), (2304, 1024),
-                             (1024, 512), (2304, 768)):
+    if args.part in ("blocks", "blocks2304", "all"):
+        d = 64
+        sweeps = {
+            9216: ((1024, 1024), (1024, 1536), (1536, 1024), (1536, 1536),
+                   (512, 1536), (768, 1536), (2304, 1536), (1152, 1536),
+                   (1152, 1152), (2304, 1024)),
+            2304: ((768, 768), (1152, 1152), (2304, 2304), (2304, 1152),
+                   (1152, 2304), (576, 2304), (768, 2304), (2304, 768)),
+        }
+        wanted = [2304] if args.part == "blocks2304" else (
+            [9216] if args.part == "blocks" else [9216, 2304])
+        for s in wanted:
+            heads = 5 if s == 9216 else 10
+            qh = jax.random.normal(jax.random.key(2), (b * heads, s, d), bf)
+            for q_blk, k_blk in sweeps[s]:
+                if s % q_blk or s % k_blk:
+                    continue
+                fn = flash_with_blocks(q_blk, k_blk)
+
+                def attn(p, x):
+                    return fn(x * p, x, x, d ** -0.5)
+
+                try:
+                    dt = marginal_time(attn, jnp.ones((), bf), qh)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"op": f"blocks_s{s}_{q_blk}x{k_blk}",
+                                      "error": str(e)[:80]}))
+                    continue
+                fl = 4 * b * heads * s * s * d
+                print(json.dumps({"op": f"blocks_s{s}_{q_blk}x{k_blk}",
+                                  "ms": round(dt * 1e3, 2),
+                                  "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part == "blocks512":
+        # VAE mid-block shape: one head of d=512, s=9216, BH=b
+        s, d = 9216, 512
+        qh = jax.random.normal(jax.random.key(2), (b, s, d), bf)
+        for q_blk, k_blk in ((512, 1024), (512, 1536), (256, 1536),
+                             (384, 1536), (768, 1536), (512, 2304),
+                             (384, 2304), (256, 2304), (1024, 1024)):
             if s % q_blk or s % k_blk:
                 continue
             fn = flash_with_blocks(q_blk, k_blk)
@@ -140,11 +174,11 @@ def main():
             try:
                 dt = marginal_time(attn, jnp.ones((), bf), qh)
             except Exception as e:  # noqa: BLE001
-                print(json.dumps({"op": f"blocks_{q_blk}x{k_blk}",
+                print(json.dumps({"op": f"blocks512_{q_blk}x{k_blk}",
                                   "error": str(e)[:80]}))
                 continue
-            fl = 4 * b * heads * s * s * d
-            print(json.dumps({"op": f"blocks_{q_blk}x{k_blk}",
+            fl = 4 * b * s * s * d
+            print(json.dumps({"op": f"blocks512_{q_blk}x{k_blk}",
                               "ms": round(dt * 1e3, 2),
                               "tflops": round(fl / dt / 1e12, 1)}))
 
@@ -177,6 +211,34 @@ def main():
             print(json.dumps({"op": f"unet_resblock_{hw}@{c}",
                               "ms": round(dt * 1e3, 2),
                               "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part in ("stransformer", "all"):
+        # full Transformer2D wrapper on an NHWC conv-layout input, composed
+        # with a resblock (the real level-0 unit) — quantifies reshape /
+        # layout-copy glue vs the sum of isolated parts
+        from genpercept_tpu.models.layers import (
+            init_spatial_transformer,
+            spatial_transformer,
+        )
+
+        for hw, c, heads in ((96, 320, 5), (48, 640, 10)):
+            x = jax.random.normal(jax.random.key(11), (b, hw, hw, c), bf)
+            ctx = jax.random.normal(jax.random.key(9), (b, 77, 1024), bf)
+            ps = jax.tree.map(
+                lambda t: t.astype(bf),
+                init_spatial_transformer(jax.random.key(12), c, heads, 1024),
+            )
+            pr = jax.tree.map(lambda t: t.astype(bf),
+                              init_resnet_block(jax.random.key(13), c, c, 1280))
+            temb = jax.random.normal(jax.random.key(7), (b, 1280), bf)
+
+            def unit(p, x):
+                h = resnet_block(p["r"], x, temb, eps=1e-5)
+                return spatial_transformer(p["s"], h, ctx, heads)
+
+            dt = marginal_time(unit, {"r": pr, "s": ps}, x)
+            print(json.dumps({"op": f"res+stransformer_{hw}@{c}",
+                              "ms": round(dt * 1e3, 2)}))
 
     if args.part in ("tblock", "all"):
         for s, c, heads in ((9216, 320, 5), (2304, 640, 10)):
