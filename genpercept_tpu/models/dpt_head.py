@@ -22,6 +22,9 @@ Variant coverage (config flags):
   upsample_first_feature=False -> v1 DPTNeckHeadForUnet /
                                   ...WithVaeDecoderWithNeck (dpt_head_elu.py:
                                   247,537 — neck+head without the Upsample2D)
+  use_neck=False               -> v1 ...WithVaeDecoderWithoutNeck
+                                  (dpt_head_elu.py:683-829 — per-level
+                                  bias-free 3x3 adapt convs, no fusion)
 
 Param tree keys mirror the reference checkpoint layout
 (feature_upsample_0.conv, neck.convs.N, neck.fusion_stage.layers.N.{projection,
@@ -55,6 +58,11 @@ class DPTHeadConfig:
     # v1 DPTNeckHeadForUnet (dpt_head_elu.py:247) skips the Upsample2D on
     # the finest feature
     upsample_first_feature: bool = True
+    # v1 ...WithVaeDecoderWithoutNeck (dpt_head_elu.py:683-829): the neck
+    # (per-level convs + fusion stage) is replaced by 4 bias-free 3x3
+    # "feature_adapt" convs to fusion_hidden_size; the head then consumes
+    # adapted[head_in_index] directly
+    use_neck: bool = True
 
     @property
     def final_relu(self) -> bool:  # backward-compatible alias
@@ -88,13 +96,6 @@ def init_dpt_head(key, cfg: DPTHeadConfig = DPT_GENERAL) -> Params:
         fusion_layers[str(i)] = layer
 
     p: Params = {
-        "neck": {
-            "convs": {
-                str(i): conv_init(next(keys), 3, 3, c, f, bias=False)
-                for i, c in enumerate(cfg.neck_hidden_sizes)
-            },
-            "fusion_stage": {"layers": fusion_layers},
-        },
         "head": {
             "head": {
                 "0": conv_init(next(keys), 3, 3, f, f // 2),
@@ -103,6 +104,19 @@ def init_dpt_head(key, cfg: DPTHeadConfig = DPT_GENERAL) -> Params:
             }
         },
     }
+    if cfg.use_neck:
+        p["neck"] = {
+            "convs": {
+                str(i): conv_init(next(keys), 3, 3, c, f, bias=False)
+                for i, c in enumerate(cfg.neck_hidden_sizes)
+            },
+            "fusion_stage": {"layers": fusion_layers},
+        }
+    else:
+        for i, c in enumerate(cfg.neck_hidden_sizes):
+            p[f"feature_adapt_conv_{i}"] = conv_init(
+                next(keys), 3, 3, c, f, bias=False
+            )
     if cfg.upsample_first_feature:
         p["feature_upsample_0"] = {
             "conv": conv_init(next(keys), 3, 3, cfg.neck_hidden_sizes[0],
@@ -144,18 +158,25 @@ def dpt_head_apply(
         x0 = jnp.repeat(jnp.repeat(x0, 2, axis=1), 2, axis=2)
         hs[0] = conv(p["feature_upsample_0"]["conv"], x0)
 
-    feats = [
-        conv(p["neck"]["convs"][str(i)], h) for i, h in enumerate(hs)
-    ]
+    if cfg.use_neck:
+        feats = [
+            conv(p["neck"]["convs"][str(i)], h) for i, h in enumerate(hs)
+        ]
 
-    # fusion: lowest resolution first
-    feats = feats[::-1]
-    layers = p["neck"]["fusion_stage"]["layers"]
-    fused = _fusion_layer(layers["0"], feats[0], None)
-    outputs = [fused]
-    for i in range(1, len(feats)):
-        fused = _fusion_layer(layers[str(i)], fused, feats[i])
-        outputs.append(fused)
+        # fusion: lowest resolution first
+        feats = feats[::-1]
+        layers = p["neck"]["fusion_stage"]["layers"]
+        fused = _fusion_layer(layers["0"], feats[0], None)
+        outputs = [fused]
+        for i in range(1, len(feats)):
+            fused = _fusion_layer(layers[str(i)], fused, feats[i])
+            outputs.append(fused)
+    else:
+        # ...WithVaeDecoderWithoutNeck (dpt_head_elu.py:800-818): per-level
+        # adapt convs, no fusion; the head reads adapted[head_in_index]
+        outputs = [
+            conv(p[f"feature_adapt_conv_{i}"], h) for i, h in enumerate(hs)
+        ]
 
     h = outputs[cfg.head_in_index]
     head = p["head"]

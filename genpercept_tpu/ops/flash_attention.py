@@ -125,7 +125,10 @@ def _blocks(sq: int, sk: int, d: int):
         if sk == 2304:
             return _pick_block(sq, 768), sk
         return _pick_block(sq, 1152), _pick_block(sk, 1536)
-    return _pick_block(sq, 512), _pick_block(sk, 1024)
+    # d=512 (VAE mid): (512, 1536) swept best (16.6 ms vs 30 for (512,1024)
+    # in the same run; scripts/profile_unet.py --part blocks512); larger q
+    # blocks at k>=1536 fail the 16 MB scoped-VMEM compile
+    return _pick_block(sq, 512), _pick_block(sk, 1536)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "kv_valid"))

@@ -157,6 +157,30 @@ def main():
                                   "ms": round(dt * 1e3, 2),
                                   "tflops": round(fl / dt / 1e12, 1)}))
 
+    if args.part == "blocks576":
+        # level-2 shape: s=576, d=64, h=20 (currently served by XLA attn —
+        # 1.49 ms; is one-block flash faster?)
+        s, d, heads = 576, 64, 20
+        qh = jax.random.normal(jax.random.key(2), (b * heads, s, d), bf)
+        for q_blk, k_blk in ((576, 576), (288, 576), (192, 576)):
+            if s % q_blk or s % k_blk:
+                continue
+            fn = flash_with_blocks(q_blk, k_blk)
+
+            def attn(p, x):
+                return fn(x * p, x, x, d ** -0.5)
+
+            try:
+                dt = marginal_time(attn, jnp.ones((), bf), qh)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"op": f"blocks576_{q_blk}x{k_blk}",
+                                  "error": str(e)[:80]}))
+                continue
+            fl = 4 * b * heads * s * s * d
+            print(json.dumps({"op": f"blocks576_{q_blk}x{k_blk}",
+                              "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}))
+
     if args.part == "blocks512":
         # VAE mid-block shape: one head of d=512, s=9216, BH=b
         s, d = 9216, 512

@@ -306,6 +306,75 @@ def test_dpt_head_matches_torch_assembly():
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
 
 
+def test_dpt_without_neck_matches_torch_assembly():
+    """v1 ...WithVaeDecoderWithoutNeck (dpt_head_elu.py:683-829): per-level
+    bias-free 3x3 adapt convs replace the neck; ELU head on
+    adapted[head_in_index]."""
+    cfg = DPTHeadConfig(
+        neck_hidden_sizes=(8, 16, 24, 24), fusion_hidden_size=16,
+        use_neck=False, upsample_first_feature=False,
+        final_act="elu_plus_one",
+    )
+
+    class TorchNoNeck(nn.Module):
+        def __init__(self):
+            super().__init__()
+            f = cfg.fusion_hidden_size
+            for i, c in enumerate(cfg.neck_hidden_sizes):
+                self.add_module(
+                    f"feature_adapt_conv_{i}",
+                    nn.Conv2d(c, f, 3, padding=1, bias=False),
+                )
+            self.head = nn.ModuleDict(
+                {
+                    "projection": nn.Conv2d(f, f, 3, padding=1),
+                    "head": nn.ModuleDict(
+                        {
+                            "0": nn.Conv2d(f, f // 2, 3, padding=1),
+                            "2": nn.Conv2d(f // 2, 32, 3, padding=1),
+                            "4": nn.Conv2d(32, 1, 1),
+                        }
+                    ),
+                }
+            )
+
+        def forward(self, hidden_states):
+            hs = [
+                getattr(self, f"feature_adapt_conv_{i}")(h)
+                for i, h in enumerate(hidden_states)
+            ]
+            h = hs[cfg.head_in_index]
+            h = F.relu(self.head["projection"](h))
+            h = self.head["head"]["0"](h)
+            h = F.interpolate(h, scale_factor=2.0, mode="bilinear",
+                              align_corners=True)
+            h = F.relu(self.head["head"]["2"](h))
+            h = self.head["head"]["4"](h)
+            return (F.elu(h) + 1.0).squeeze(1)
+
+    torch.manual_seed(5)
+    m = TorchNoNeck().eval()
+    params = torch_module_to_pytree(m)
+
+    rng = np.random.default_rng(5)
+    H = 8
+    feats_np = [
+        rng.normal(size=(1, H, H, 8)).astype(np.float32),
+        rng.normal(size=(1, H, H, 16)).astype(np.float32),
+        rng.normal(size=(1, H // 2, H // 2, 24)).astype(np.float32),
+        rng.normal(size=(1, H // 4, H // 4, 24)).astype(np.float32),
+    ]
+    ours = dpt_head_apply(params, [jnp.asarray(f) for f in feats_np], cfg)
+    with torch.no_grad():
+        theirs = m([torch.from_numpy(f).permute(0, 3, 1, 2) for f in feats_np])
+    # head_in_index=-1 is the H/4 feature; the head upsamples x2 -> H/2
+    assert ours.shape == tuple(theirs.shape) == (1, H // 2, H // 2)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4)
+    # init covers the variant's param tree
+    ip = init_dpt_head(jax.random.key(1), cfg)
+    assert "feature_adapt_conv_3" in ip and "neck" not in ip
+
+
 def test_dpt_identity_variant_allows_negative():
     cfg = DPTHeadConfig(
         neck_hidden_sizes=(8, 16, 24, 24), fusion_hidden_size=16,
