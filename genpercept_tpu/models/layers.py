@@ -234,6 +234,15 @@ def feed_forward(p: Params, x: jax.Array) -> jax.Array:
     per 9216-token UNet layer at batch 16)."""
     w = p["net"]["0"]["proj"]["weight"]
     b = p["net"]["0"]["proj"].get("bias")
+    from genpercept_tpu.ops import fused_ff as FF
+
+    if (jax.default_backend() != "cpu"
+            and FF.supported(x.shape[0], x.shape[1], x.shape[2])):
+        # one Pallas program streams a row block through all three matmuls;
+        # the (B, S, 4C) intermediates never exist in HBM (3.4 vs 4.9 ms at
+        # the level-0 shape; differentiable via XLA-recompute vjp)
+        return FF.fused_geglu_ff(x, w, b, p["net"]["2"]["weight"],
+                                 p["net"]["2"].get("bias"))
     inner = w.shape[1] // 2
     hidden = attention_projection(x, w[:, :inner], None if b is None else b[:inner])
     gate = attention_projection(x, w[:, inner:], None if b is None else b[inner:])

@@ -55,9 +55,11 @@ def dot_product_attention(
         # big fused XLA batch; use_flash=True still works via the padded
         # masked-KV path when explicitly requested, e.g. to cap training
         # memory). Kernel needs TPU (not the CPU backend).
+        # sq == sk == 576 (UNet level-2 self-attention): one-block flash
+        # measured 0.83 ms vs 1.3 for XLA at batch 16 (profile_unet.py
+        # --part blocks576)
         use_flash = (
-            sq >= 2048
-            and sk >= 2048
+            ((sq >= 2048 and sk >= 2048) or (sq == sk and sq == 576))
             and fa.supported(sq, sk, q.shape[-1])
             and jax.default_backend() != "cpu"
         )

@@ -336,12 +336,15 @@ def _flash_bwd_bhsd(qh, kh, vh, oh, do, lse, scale: float,
 
 
 def supported(sq: int, sk: int, d: int) -> bool:
-    """True if flash_attention handles (sq, sk, d) — directly or by padding
-    short KV up to the 128 tile."""
-    if sk % 128 != 0 or _pick_block(sk, 1024) is None:
-        sk = max(128, -(-sk // 128) * 128)
+    """True if flash_attention handles (sq, sk, d) — directly when a block
+    divides the raw KV length (e.g. sk=576 -> one 576 k block), else by
+    padding short KV up to the 128 tile."""
+    if d not in (64, 128, 256, 512):
+        return False
     q_blk, k_blk = _blocks(sq, sk, d)
-    return q_blk is not None and k_blk is not None and d in (64, 128, 256, 512)
+    if k_blk is None:
+        q_blk, k_blk = _blocks(sq, max(128, -(-sk // 128) * 128), d)
+    return q_blk is not None and k_blk is not None
 
 
 def _to_bhsd(x, b, s, h, d):
@@ -413,9 +416,9 @@ def flash_attention(
     b, sq, h, d = q.shape
     sk = k.shape[1]
     kv_valid = None
-    if sk % 128 != 0 or _pick_block(sk, 1024) is None:
+    if _blocks(sq, sk, d)[1] is None:
         sk_pad = max(128, -(-sk // 128) * 128)
-        if _pick_block(sk_pad, 1024) is not None:
+        if _blocks(sq, sk_pad, d)[1] is not None:
             pad = [(0, 0), (0, sk_pad - sk), (0, 0), (0, 0)]
             k = jnp.pad(k, pad)
             v = jnp.pad(v, pad)

@@ -220,6 +220,141 @@ def main():
             print(json.dumps({"op": f"geglu_ff_s{s}_c{c}", "ms": round(dt * 1e3, 2),
                               "tflops": round(fl / dt / 1e12, 1)}))
 
+    if args.part == "bf16softmax":
+        # EXPERIMENT: is the VPU 2x on packed bf16 elementwise ops? The
+        # d=64 flash kernel is VPU-bound on per-logit fp32 softmax work
+        # (max-compare + FMA + exp2 + cast ~= the whole 22.6 ms); if bf16
+        # halves that, the kernel drops toward the MXU floor. Numerics: raw
+        # bf16 logits quantize at ~0.25% relative in p, same order as the
+        # accepted bf16 p cast.
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel_bf(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *, scale):
+            ki = pl.program_id(2)
+            nk = pl.num_programs(2)
+
+            @pl.when(ki == 0)
+            def _init():
+                m_ref[:] = jnp.full_like(m_ref, -1e30)
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+            c = jnp.bfloat16(scale * 1.4426950408889634)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.bfloat16,
+            )
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2((s - m_new) * c)  # all bf16
+            alpha = jnp.exp2(((m_prev - m_new) * c).astype(jnp.float32))
+            m_ref[:] = m_new
+            pv = jax.lax.dot_general(
+                p, jnp.concatenate(
+                    [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] = acc_ref[:] * alpha + pv
+
+            @pl.when(ki == nk - 1)
+            def _finish():
+                l = acc_ref[:, -1:]
+                o_ref[0] = (acc_ref[:, :-1] / l).astype(o_ref.dtype)
+
+        def flash_bf(q_blk, k_blk):
+            def fn(qh, kh, vh, scale):
+                bh, sq, d = qh.shape
+                sk = kh.shape[1]
+                grid = (bh, sq // q_blk, sk // k_blk)
+                return pl.pallas_call(
+                    functools.partial(kernel_bf, scale=scale),
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec((1, q_blk, d),
+                                     lambda b_, qi, ki: (b_, qi, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, k_blk, d),
+                                     lambda b_, qi, ki: (b_, ki, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, k_blk, d),
+                                     lambda b_, qi, ki: (b_, ki, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, q_blk, d),
+                                           lambda b_, qi, ki: (b_, qi, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
+                    scratch_shapes=[
+                        pltpu.VMEM((q_blk, 1), jnp.bfloat16),
+                        pltpu.VMEM((q_blk, d + 1), jnp.float32),
+                    ],
+                    compiler_params=pltpu.CompilerParams(
+                        dimension_semantics=("parallel", "parallel",
+                                             "arbitrary"),
+                    ),
+                )(qh, kh, vh)
+
+            return fn
+
+        s, d, heads = 9216, 64, 5
+        qh = jax.random.normal(jax.random.key(2), (b * heads, s, d), bf)
+        for q_blk, k_blk in ((1152, 1536), (1024, 1024), (1152, 2304),
+                             (2304, 1536)):
+            fn = flash_bf(q_blk, k_blk)
+
+            def attn(p, x):
+                return fn(x * p, x, x, d ** -0.5)
+
+            try:
+                dt = marginal_time(attn, jnp.ones((), bf), qh)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"op": f"bf16sm_{q_blk}x{k_blk}",
+                                  "error": str(e)[:100]}))
+                continue
+            fl = 4 * b * heads * s * s * d
+            print(json.dumps({"op": f"bf16sm_{q_blk}x{k_blk}",
+                              "ms": round(dt * 1e3, 2),
+                              "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part == "fusedff":
+        # fused GEGLU kernel vs the split-matmul XLA path (true FLOP count:
+        # 2*b*s*c*(8c) proj + 2*b*s*(4c)*c down = 0.36 TF at s=9216 c=320)
+        from genpercept_tpu.ops.fused_ff import fused_geglu_ff
+
+        for s, c in ((9216, 320), (2304, 640), (576, 1280)):
+            x = jax.random.normal(jax.random.key(3), (b, s, c), bf)
+            p = jax.tree.map(lambda t: t.astype(bf),
+                             init_feed_forward(jax.random.key(4), c))
+            w1 = p["net"]["0"]["proj"]["weight"]
+            b1 = p["net"]["0"]["proj"].get("bias")
+            w2 = p["net"]["2"]["weight"]
+            b2 = p["net"]["2"].get("bias")
+            fl = 2 * b * s * c * (8 * c) + 2 * b * s * (4 * c) * c
+
+            def xla_ff(p, x):
+                return feed_forward(p, x)
+
+            def fff(p, x):
+                return fused_geglu_ff(x, p["net"]["0"]["proj"]["weight"],
+                                      p["net"]["0"]["proj"].get("bias"),
+                                      p["net"]["2"]["weight"],
+                                      p["net"]["2"].get("bias"))
+
+            for name, fn in (("xla", xla_ff), ("fused", fff)):
+                try:
+                    dt = marginal_time(fn, p, x)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"op": f"ff_{name}_s{s}_c{c}",
+                                      "error": str(e)[:120]}))
+                    continue
+                print(json.dumps({"op": f"ff_{name}_s{s}_c{c}",
+                                  "ms": round(dt * 1e3, 2),
+                                  "tflops": round(fl / dt / 1e12, 1)}))
+
     if args.part in ("resblock", "all"):
         for hw, c in ((96, 320), (48, 640), (24, 1280), (12, 1280)):
             x = jax.random.normal(jax.random.key(5), (b, hw, hw, c), bf)

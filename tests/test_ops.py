@@ -321,3 +321,65 @@ def test_fused_resnet_block_matches_unfused():
     with pltpu.force_tpu_interpret_mode():
         out = resnet_block(p, x, None, eps=1e-6, fused=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_geglu_ff_matches_split_path():
+    """Pallas fused GEGLU FF (interpret mode) vs the split-matmul
+    composition (models/layers.py feed_forward), fp32 and bf16."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.models.layers import feed_forward, init_feed_forward
+    from genpercept_tpu.ops.fused_ff import fused_geglu_ff
+
+    rng = np.random.default_rng(11)
+    for dt, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 6e-2)):
+        p = jax.tree.map(
+            lambda t: t.astype(dt), init_feed_forward(jax.random.key(0), 64)
+        )
+        x = jnp.asarray(rng.normal(size=(2, 512, 64)) * 2.0, dt)
+        ref = feed_forward(p, x)  # CPU backend -> split path
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_geglu_ff(
+                x,
+                p["net"]["0"]["proj"]["weight"],
+                p["net"]["0"]["proj"].get("bias"),
+                p["net"]["2"]["weight"],
+                p["net"]["2"].get("bias"),
+            )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=atol,
+        )
+
+
+def test_fused_geglu_ff_gradients_match_split_path():
+    """The custom VJP (XLA-recompute backward) must give the same x / weight
+    gradients as differentiating the split composition directly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.models.layers import feed_forward, init_feed_forward
+    from genpercept_tpu.ops.fused_ff import fused_geglu_ff
+
+    rng = np.random.default_rng(12)
+    p = init_feed_forward(jax.random.key(1), 64)
+    x = jnp.asarray(rng.normal(size=(1, 512, 64)), jnp.float32)
+    w1 = p["net"]["0"]["proj"]["weight"]
+    b1 = p["net"]["0"]["proj"]["bias"]
+    w2 = p["net"]["2"]["weight"]
+    b2 = p["net"]["2"]["bias"]
+
+    def loss_ref(x, w1, b1, w2, b2):
+        q = {"net": {"0": {"proj": {"weight": w1, "bias": b1}},
+                     "2": {"weight": w2, "bias": b2}}}
+        return jnp.sum(jnp.sin(feed_forward(q, x)))
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.sin(fused_geglu_ff(x, w1, b1, w2, b2)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, w1, b1, w2, b2
+        )
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
