@@ -127,9 +127,8 @@ def main():
     if args.part in ("blocks", "blocks2304", "all"):
         d = 64
         sweeps = {
-            9216: ((1024, 1024), (1024, 1536), (1536, 1024), (1536, 1536),
-                   (512, 1536), (768, 1536), (2304, 1536), (1152, 1536),
-                   (1152, 1152), (2304, 1024)),
+            9216: ((1024, 1024), (1152, 1536), (2304, 768), (4608, 768),
+                   (2304, 512), (4608, 512), (9216, 768), (3072, 768)),
             2304: ((768, 768), (1152, 1152), (2304, 2304), (2304, 1152),
                    (1152, 2304), (576, 2304), (768, 2304), (2304, 768)),
         }
@@ -245,8 +244,8 @@ def main():
             c = jnp.bfloat16(scale * 1.4426950408889634)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.bfloat16,
-            )
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # one cast, then bf16 elementwise chain
             m_prev = m_ref[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2((s - m_new) * c)  # all bf16
@@ -302,8 +301,9 @@ def main():
 
         s, d, heads = 9216, 64, 5
         qh = jax.random.normal(jax.random.key(2), (b * heads, s, d), bf)
-        for q_blk, k_blk in ((1152, 1536), (1024, 1024), (1152, 2304),
-                             (2304, 1536)):
+        for q_blk, k_blk in ((2304, 1536), (4608, 1536), (3072, 1536),
+                             (2304, 2304), (4608, 768), (2304, 768),
+                             (9216, 768), (9216, 1536)):
             fn = flash_bf(q_blk, k_blk)
 
             def attn(p, x):
