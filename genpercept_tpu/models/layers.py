@@ -75,13 +75,27 @@ def init_resnet_block(key, cin: int, cout: int, temb_dim: int | None) -> Params:
 
 def resnet_block(
     p: Params, x: jax.Array, temb: jax.Array | None = None, eps: float = 1e-5,
-    fused: bool = False,
+    fused: bool = False, conv_fn=None, name: str = "",
 ) -> jax.Array:
     """diffusers ResnetBlock2D: GN -> SiLU -> conv -> (+temb) -> GN -> SiLU
     -> conv -> +shortcut.
 
     fused=True routes both GN+SiLU+conv sequences (and the skip add) through
-    the Pallas fused kernel (ops/fused_conv.py) — inference path only."""
+    the Pallas fused kernel (ops/fused_conv.py) — inference path only.
+    conv_fn (see ops/quant.py) overrides how conv1/conv2 are applied
+    (int8-quantized execution or calibration); `name` prefixes the conv
+    paths it sees."""
+    if conv_fn is not None and temb is None:
+        h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], 32, eps)
+        h = jax.nn.silu(h)
+        h = conv_fn(name + ".conv1", p["conv1"], h)
+        h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], 32, eps)
+        h = jax.nn.silu(h)
+        h = conv_fn(name + ".conv2", p["conv2"], h)
+        if "conv_shortcut" in p:
+            x = conv1x1(x, p["conv_shortcut"]["weight"][0, 0],
+                        p["conv_shortcut"].get("bias"))
+        return x + h
     if fused and temb is None:
         from genpercept_tpu.ops import fused_conv as FC
 
@@ -120,15 +134,19 @@ def init_downsample(key, c: int) -> Params:
     return {"conv": conv_init(key, 3, 3, c, c)}
 
 
-def downsample2d(p: Params, x: jax.Array, asymmetric_pad: bool = False) -> jax.Array:
+def downsample2d(p: Params, x: jax.Array, asymmetric_pad: bool = False,
+                 conv_fn=None, name: str = "") -> jax.Array:
     """Stride-2 conv. The VAE encoder pads (0,1,0,1) asymmetrically (folded
     into the conv's padding argument — an explicit jnp.pad would copy the
     full tensor); the UNet uses symmetric padding=1."""
+    pad = ((0, 1), (0, 1)) if asymmetric_pad else 1
+    if conv_fn is not None:
+        return conv_fn(name + ".conv", p["conv"], x, stride=2, padding=pad)
     if asymmetric_pad:
         from genpercept_tpu.ops.conv import conv2d
 
         return conv2d(x, p["conv"]["weight"], p["conv"].get("bias"),
-                      stride=2, padding=((0, 1), (0, 1)))
+                      stride=2, padding=pad)
     return conv(p["conv"], x, stride=2, padding=1)
 
 
@@ -136,12 +154,15 @@ def init_upsample(key, c: int, cout: int | None = None) -> Params:
     return {"conv": conv_init(key, 3, 3, c, cout or c)}
 
 
-def upsample2d(p: Params, x: jax.Array, out_hw: tuple | None = None) -> jax.Array:
+def upsample2d(p: Params, x: jax.Array, out_hw: tuple | None = None,
+               conv_fn=None, name: str = "") -> jax.Array:
     """Nearest upsample (x2 or to explicit size) then 3x3 conv — diffusers
     Upsample2D(use_conv=True). The explicit size path mirrors diffusers'
     `forward_upsample_size` handling for latents not divisible by 8."""
     n, h, w, c = x.shape
     if out_hw is None or out_hw == (2 * h, 2 * w):
+        if conv_fn is not None:
+            return conv_fn(name + ".conv", p["conv"], x, kind="up4x4")
         from genpercept_tpu.ops.conv import nearest_up2_conv3x3
 
         return nearest_up2_conv3x3(

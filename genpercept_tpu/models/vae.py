@@ -124,11 +124,13 @@ def _init_decoder(key, cfg: VAEConfig) -> Params:
 # ------------------------------------------------------------------ apply
 
 def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
-                      fused: bool = False) -> jax.Array:
+                      fused: bool = False, conv_fn=None) -> jax.Array:
     """x: (N, H, W, 3) in [-1, 1] -> moments (N, H/8, W/8, 8).
 
     fused=True uses the Pallas fused GN+SiLU+conv kernel in every resblock
-    (inference path; see ops/fused_conv.py)."""
+    (inference path; see ops/fused_conv.py). conv_fn (ops/quant.py) hooks
+    every resnet/downsampler conv for int8 execution or calibration;
+    conv_in/conv_out/attention/shortcuts stay full-precision."""
     enc = p["encoder"]
     h = conv(enc["conv_in"], x)
     n_blocks = len(cfg.block_out_channels)
@@ -136,13 +138,18 @@ def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
         blk = enc["down_blocks"][str(i)]
         for j in range(cfg.layers_per_block):
             h = resnet_block(blk["resnets"][str(j)], h, None, eps=1e-6,
-                             fused=fused)
+                             fused=fused, conv_fn=conv_fn,
+                             name=f"encoder.down_blocks.{i}.resnets.{j}")
         if "downsamplers" in blk:
-            h = downsample2d(blk["downsamplers"]["0"], h, asymmetric_pad=True)
+            h = downsample2d(blk["downsamplers"]["0"], h, asymmetric_pad=True,
+                             conv_fn=conv_fn,
+                             name=f"encoder.down_blocks.{i}.downsamplers.0")
     mid = enc["mid_block"]
-    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6, fused=fused)
+    h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6, fused=fused,
+                     conv_fn=conv_fn, name="encoder.mid_block.resnets.0")
     h = vae_attention(mid["attentions"]["0"], h)
-    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6, fused=fused)
+    h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6, fused=fused,
+                     conv_fn=conv_fn, name="encoder.mid_block.resnets.1")
     h = _gn_silu_conv(h, enc["conv_norm_out"], enc["conv_out"],
                       cfg.norm_num_groups, fused)
     # quant_conv maps moments -> moments (1x1 conv over 8 channels)
@@ -167,16 +174,17 @@ def _gn_silu_conv(h, norm_p, conv_p, groups, fused):
 
 
 def vae_encode(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
-               fused: bool = False) -> jax.Array:
+               fused: bool = False, conv_fn=None) -> jax.Array:
     """Deterministic latent: mean channel of the posterior, scaled.
     Matches reference `encode_rgb` (genpercept_pipeline.py:488-505)."""
-    moments = vae_encoder_apply(p, x, cfg, fused=fused)
+    moments = vae_encoder_apply(p, x, cfg, fused=fused, conv_fn=conv_fn)
     mean = moments[..., : cfg.latent_channels]
     return mean * cfg.scaling_factor
 
 
 def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE,
-               fused: bool = False, remat: bool = False) -> jax.Array:
+               fused: bool = False, remat: bool = False,
+               conv_fn=None) -> jax.Array:
     """z: (N, h, w, 4) scaled latent -> (N, 8h, 8w, 3).
     Matches reference `decode_pred` up to the task-specific channel mean.
 
@@ -193,24 +201,35 @@ def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE,
     def ckpt(fn):
         return jax.checkpoint(fn) if remat else fn
 
-    rb = ckpt(functools.partial(resnet_block, temb=None, eps=1e-6, fused=fused))
+    def rb(pp, hh, name=""):
+        # bind the (static, string) conv path before jax.checkpoint wraps the
+        # call — checkpoint traces every argument, and strings don't trace
+        f = functools.partial(resnet_block, temb=None, eps=1e-6, fused=fused,
+                              conv_fn=conv_fn, name=name)
+        return ckpt(f)(pp, hh)
+
+    def up(pp, hh, name=""):
+        f = functools.partial(upsample2d, conv_fn=conv_fn, name=name)
+        return ckpt(f)(pp, hh)
+
     attn = ckpt(vae_attention)
-    up = ckpt(upsample2d)
 
     z = z / cfg.scaling_factor
     z = conv1x1(z, p["post_quant_conv"]["weight"][0, 0], p["post_quant_conv"].get("bias"))
     dec = p["decoder"]
     h = conv(dec["conv_in"], z)
     mid = dec["mid_block"]
-    h = rb(mid["resnets"]["0"], h)
+    h = rb(mid["resnets"]["0"], h, name="decoder.mid_block.resnets.0")
     h = attn(mid["attentions"]["0"], h)
-    h = rb(mid["resnets"]["1"], h)
+    h = rb(mid["resnets"]["1"], h, name="decoder.mid_block.resnets.1")
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
         blk = dec["up_blocks"][str(i)]
         for j in range(cfg.layers_per_block + 1):
-            h = rb(blk["resnets"][str(j)], h)
+            h = rb(blk["resnets"][str(j)], h,
+                   name=f"decoder.up_blocks.{i}.resnets.{j}")
         if "upsamplers" in blk:
-            h = up(blk["upsamplers"]["0"], h)
+            h = up(blk["upsamplers"]["0"], h,
+                   name=f"decoder.up_blocks.{i}.upsamplers.0")
     return _gn_silu_conv(h, dec["conv_norm_out"], dec["conv_out"],
                          cfg.norm_num_groups, fused)

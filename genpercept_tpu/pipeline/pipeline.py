@@ -70,6 +70,14 @@ class PipelineConfig:
     # GEMM loses more on the 9 shifted-window matmuls than it saves in HBM
     # traffic. Kept as an off-by-default experimental path.
     fused_vae: bool = False
+    # W8A8 int8 VAE convolutions (ops/quant.py): the v5e MXU runs s8 at 2x
+    # the bf16 rate and the bf16 VAE is already at ~90% MFU, so this is the
+    # main single-chip throughput lever. Calibrates per-channel activation
+    # scales on the FIRST batch (one extra full-precision pass), then runs
+    # every resnet/up/down conv in both VAE halves in int8. The reference
+    # has no analogue (fp16 autocast only).
+    int8_vae: bool = False
+    int8_margin: float = 1.1
 
     def __post_init__(self):
         if self.arch == "genpercept":
@@ -130,12 +138,20 @@ class GenPerceptModels:
         return p
 
 
-def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
+def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
+                       quant_mode: Optional[str] = None):
     """Returns a jittable fn(params, rgb_01, noise=None) -> prediction.
 
     rgb_01: (B, H, W, 3) float in [0, 1] at processing resolution
     (H, W multiples of 8). Returns (B, H, W) or (B, H, W, 3) in [0, 1].
     Equivalent to reference `single_infer` (genpercept_pipeline.py:374-486).
+
+    quant_mode (int8 VAE, ops/quant.py):
+      None        — full-precision VAE convs.
+      "calibrate" — full precision, but also returns per-conv input absmax
+                    stats: fn -> (pred, {"enc": {...}, "dec": {...}}).
+      "quant"     — expects params["vae_quant"] = {"enc": qtree, "dec": qtree}
+                    and runs the calibrated convs in int8.
     """
     task = cfg.task
     unet_cfg, vae_cfg, dpt_cfg = models.unet_cfg, models.vae_cfg, models.dpt_cfg
@@ -150,8 +166,26 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
     fused = cfg.fused_vae
 
     def single_infer(params, rgb, noise: Optional[jax.Array] = None):
+        from genpercept_tpu.ops.quant import make_calib_conv_fn, make_quant_conv_fn
+
+        if quant_mode == "calibrate":
+            enc_stats, dec_stats = {}, {}
+            enc_fn = make_calib_conv_fn(enc_stats)
+            dec_fn = make_calib_conv_fn(dec_stats)
+        elif quant_mode == "quant":
+            enc_fn = make_quant_conv_fn(params["vae_quant"]["enc"])
+            dec_fn = make_quant_conv_fn(params["vae_quant"]["dec"])
+        else:
+            enc_fn = dec_fn = None
+
+        def finish(pred):
+            if quant_mode == "calibrate":
+                return pred, {"enc": enc_stats, "dec": dec_stats}
+            return pred
+
         rgb_norm = (rgb.astype(compute_dtype) * 2.0 - 1.0)
-        rgb_latent = vae_encode(params["vae"], rgb_norm, vae_cfg, fused=fused)
+        rgb_latent = vae_encode(params["vae"], rgb_norm, vae_cfg, fused=fused,
+                                conv_fn=enc_fn)
         text = jnp.broadcast_to(
             params["text_embed"].astype(compute_dtype),
             (rgb.shape[0],) + params["text_embed"].shape[-2:],
@@ -167,7 +201,8 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
             # tensor; batches there are per-image)
             lo = jnp.min(pred, axis=(1, 2), keepdims=True)
             hi = jnp.max(pred, axis=(1, 2), keepdims=True)
-            return ((pred - lo) / jnp.maximum(hi - lo, 1e-6)).astype(jnp.float32)
+            return finish(
+                ((pred - lo) / jnp.maximum(hi - lo, 1e-6)).astype(jnp.float32))
 
         if cfg.arch in ("genpercept", "rgb_blending"):
             pred_latent = rgb_latent
@@ -198,11 +233,12 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig):
                 pred_latent = pred_latent.astype(compute_dtype)
             pred_latent = pred_x0.astype(compute_dtype)
 
-        decoded = vae_decode(params["vae"], pred_latent, vae_cfg, fused=fused)
+        decoded = vae_decode(params["vae"], pred_latent, vae_cfg, fused=fused,
+                             conv_fn=dec_fn)
         if task.channel_mean:
             decoded = jnp.mean(decoded, axis=-1)
         pred = jnp.clip(decoded, -1.0, 1.0)
-        return ((pred + 1.0) / 2.0).astype(jnp.float32)
+        return finish(((pred + 1.0) / 2.0).astype(jnp.float32))
 
     return single_infer
 
@@ -225,7 +261,29 @@ class GenPerceptPipeline:
         self.models = models
         self.cfg = cfg
         self._params = models.params()
-        self._infer = jax.jit(build_single_infer(models, cfg))
+        self._infer = jax.jit(
+            build_single_infer(models, cfg, "quant" if cfg.int8_vae else None))
+        self._calibrated = not cfg.int8_vae
+        if cfg.int8_vae:
+            self._calib_infer = jax.jit(
+                build_single_infer(models, cfg, "calibrate"))
+
+    def _run(self, x: jax.Array, noise: Optional[jax.Array] = None):
+        """Dispatch one device batch; with int8_vae the first batch runs the
+        full-precision calibration pass (returning its prediction) and
+        builds the int8 weight tree used by every later batch."""
+        if not self._calibrated:
+            from genpercept_tpu.ops.quant import quantize_from_stats
+
+            pred, stats = self._calib_infer(self._params, x, noise)
+            m = self.cfg.int8_margin
+            self._params["vae_quant"] = {
+                "enc": quantize_from_stats(self.models.vae, stats["enc"], m),
+                "dec": quantize_from_stats(self.models.vae, stats["dec"], m),
+            }
+            self._calibrated = True
+            return pred
+        return self._infer(self._params, x, noise)
 
     def __call__(
         self,
@@ -257,7 +315,7 @@ class GenPerceptPipeline:
             if rng is None:
                 rng = jax.random.key(0)
             noise = jax.random.normal(rng, (e, lh, lw, 4))
-            preds = self._infer(self._params, x, noise)
+            preds = self._run(x, noise)
             from genpercept_tpu.pipeline.ensemble import ensemble_predictions
 
             pred = ensemble_predictions(preds)[None]
@@ -269,7 +327,7 @@ class GenPerceptPipeline:
                 if cfg.arch == "marigold"
                 else None
             )
-            pred = self._infer(self._params, x, noise)
+            pred = self._run(x, noise)
 
         if cfg.match_input_res and pred.shape[1:3] != (h, w):
             if pred.ndim == 3:
@@ -331,7 +389,7 @@ class GenPerceptPipeline:
                            cfg.resample_method, antialias=True)[0]
                     for _, im, _ in chunk
                 ])
-                preds = self._infer(self._params, x)
+                preds = self._run(x)
                 preds = jnp.clip(preds, 0.0, 1.0)
                 for bi, (idx, _, (h, w)) in enumerate(chunk):
                     pred = preds[bi : bi + 1]

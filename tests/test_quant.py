@@ -1,0 +1,168 @@
+"""W8A8 int8 VAE quantization (ops/quant.py): kernel-level parity, exactness
+on grid-aligned inputs, calibration plumbing, and end-to-end pipeline error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genpercept_tpu.models import VAEConfig, init_vae, vae_decode, vae_encode
+from genpercept_tpu.ops.conv import conv2d, nearest_up2_conv3x3
+from genpercept_tpu.ops.quant import (
+    absmax_per_channel,
+    make_calib_conv_fn,
+    make_quant_conv_fn,
+    merge_stats,
+    qconv_apply,
+    quantize_conv,
+    quantize_from_stats,
+)
+
+TINY_VAE = VAEConfig(block_out_channels=(32, 32, 64, 64))
+
+
+def _rand_conv(key, cin, cout, k=3):
+    kw, kb = jax.random.split(key)
+    return {
+        "weight": jax.random.normal(kw, (k, k, cin, cout), jnp.float32) * 0.05,
+        "bias": jax.random.normal(kb, (cout,), jnp.float32) * 0.1,
+    }
+
+
+def test_qconv_matches_f32_conv_within_quant_error():
+    key = jax.random.key(0)
+    kx, kp = jax.random.split(key)
+    x = jax.random.normal(kx, (2, 16, 16, 32), jnp.float32)
+    p = _rand_conv(kp, 32, 24)
+    q = quantize_conv(p, absmax_per_channel(x), margin=1.0)
+    ref = conv2d(x, p["weight"], p["bias"])
+    out = qconv_apply(q, x)
+    # error budget: x rounding (<= a/254 per element) plus weight rounding,
+    # accumulated over 9*32 taps — relative to output scale
+    err = np.abs(np.asarray(out - ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() / scale < 0.03, err.max() / scale
+
+
+def test_qconv_exact_on_grid_aligned_values():
+    # x on the int grid with a = 127 (scale 1), and int weights whose per-co
+    # absmax is exactly 127 (so o_scale = 1): both round() calls are
+    # identity and the int8 path must be bit-exact
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(-100, 100, (1, 8, 8, 8)), jnp.float32)
+    w_np = rng.integers(-127, 128, (3, 3, 8, 8)).astype(np.float32)
+    w_np[0, 0, 0, :] = 127.0
+    w = jnp.asarray(w_np)
+    p = {"weight": w, "bias": jnp.zeros((8,), jnp.float32)}
+    q = quantize_conv(p, jnp.full((8,), 127.0), margin=1.0)
+    np.testing.assert_array_equal(np.asarray(q.o_scale), np.ones(8))
+    ref = conv2d(x, w, None)
+    out = qconv_apply(q, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_qconv_stride2_asymmetric_and_upsample_kinds():
+    key = jax.random.key(2)
+    kx, kp = jax.random.split(key)
+    x = jax.random.normal(kx, (2, 12, 12, 16), jnp.float32)
+    p = _rand_conv(kp, 16, 16)
+    amax = absmax_per_channel(x)
+
+    qd = quantize_conv(p, amax, stride=2, padding=((0, 1), (0, 1)), margin=1.0)
+    ref_d = conv2d(x, p["weight"], p["bias"], stride=2, padding=((0, 1), (0, 1)))
+    out_d = qconv_apply(qd, x)
+    assert out_d.shape == ref_d.shape == (2, 6, 6, 16)
+    assert np.abs(np.asarray(out_d - ref_d)).max() / np.abs(np.asarray(ref_d)).max() < 0.03
+
+    qu = quantize_conv(p, amax, kind="up4x4", margin=1.0)
+    ref_u = nearest_up2_conv3x3(x, p["weight"], p["bias"])
+    out_u = qconv_apply(qu, x)
+    assert out_u.shape == ref_u.shape == (2, 24, 24, 16)
+    assert np.abs(np.asarray(out_u - ref_u)).max() / np.abs(np.asarray(ref_u)).max() < 0.03
+
+
+def test_calibrate_then_quant_vae_decode():
+    vae = init_vae(jax.random.key(3), TINY_VAE)
+    z = jax.random.normal(jax.random.key(4), (2, 8, 8, 4), jnp.float32) * 0.3
+
+    @jax.jit
+    def calib(p, z):
+        stats = {}
+        y = vae_decode(p, z, TINY_VAE, conv_fn=make_calib_conv_fn(stats))
+        return y, stats
+
+    y_ref, stats = calib(vae, z)
+    # decoder: 2 mid resnets + 4 up blocks x 3 resnets -> 28 convs, + 3 ups
+    assert len(stats) == 2 * 2 + 4 * 3 * 2 + 3
+    assert all(k.startswith("decoder.") for k in stats)
+
+    qtree = quantize_from_stats(vae, stats)
+    y_q = jax.jit(
+        lambda p, q, z: vae_decode(p, z, TINY_VAE, conv_fn=make_quant_conv_fn(q))
+    )(vae, qtree, z)
+    assert y_q.shape == y_ref.shape
+    # W8A8 rounding error per conv output ~ q_step/sqrt(K); this tiny net
+    # (K = 9*32 = 288 taps) is ~4x worse than the 512-channel SD VAE.
+    # Measured here: mean ~1%, max ~10% of output scale.
+    err = np.abs(np.asarray(y_q - y_ref))
+    scale = np.abs(np.asarray(y_ref)).max()
+    assert err.mean() / scale < 0.02
+    assert err.max() / scale < 0.2
+
+
+def test_calibrate_then_quant_vae_encode():
+    vae = init_vae(jax.random.key(5), TINY_VAE)
+    x = jax.random.uniform(jax.random.key(6), (2, 32, 32, 3), jnp.float32) * 2 - 1
+
+    @jax.jit
+    def calib(p, x):
+        stats = {}
+        y = vae_encode(p, x, TINY_VAE, conv_fn=make_calib_conv_fn(stats))
+        return y, stats
+
+    y_ref, stats = calib(vae, x)
+    # encoder: 4 blocks x 2 resnets x 2 convs + 3 downsamplers + 2 mid x 2
+    assert len(stats) == 4 * 2 * 2 + 3 + 2 * 2
+    assert any("downsamplers" in k for k in stats)
+
+    qtree = quantize_from_stats(vae, stats)
+    y_q = jax.jit(
+        lambda p, q, x: vae_encode(p, x, TINY_VAE, conv_fn=make_quant_conv_fn(q))
+    )(vae, qtree, x)
+    scale = np.abs(np.asarray(y_ref)).max()
+    assert np.abs(np.asarray(y_q - y_ref)).max() / scale < 0.1
+
+
+def test_merge_stats():
+    a = {"k": jnp.asarray([1.0, 5.0])}
+    b = {"k": jnp.asarray([2.0, 3.0])}
+    np.testing.assert_array_equal(np.asarray(merge_stats(a, b)["k"]), [2.0, 5.0])
+
+
+def test_pipeline_int8_vae_end_to_end():
+    """First call calibrates (matches full precision exactly); later calls
+    run int8 and must stay within a small per-pixel bound of full precision."""
+    import tests.test_pipeline as TP
+
+    models = TP.tiny_models()
+    rgb = np.random.default_rng(7).uniform(size=(48, 48, 3)).astype(np.float32)
+
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    cfg_fp = PipelineConfig(mode="depth", processing_res=0)
+    cfg_q = PipelineConfig(mode="depth", processing_res=0, int8_vae=True)
+    pipe_fp = GenPerceptPipeline(models, cfg_fp)
+    pipe_q = GenPerceptPipeline(models, cfg_q)
+
+    ref = pipe_fp(rgb).pred_np
+    first = pipe_q(rgb).pred_np  # calibration pass: full precision
+    np.testing.assert_allclose(first, ref, atol=1e-6)
+    assert pipe_q._calibrated and "vae_quant" in pipe_q._params
+    assert len(pipe_q._params["vae_quant"]["enc"]) == 23
+    assert len(pipe_q._params["vae_quant"]["dec"]) == 31
+
+    second = pipe_q(rgb).pred_np  # int8 path
+    # tiny-channel worst case (see test_calibrate_then_quant_vae_decode);
+    # full-size parity is measured on-chip by scripts/profile_int8_vae.py
+    assert np.abs(second - ref).max() < 0.3
+    assert np.abs(second - ref).mean() < 0.05
