@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=0,
                    help="0 = single-image loop (reference behavior); >0 or -1"
                         " = batched device inference (-1: auto from oracle)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard device batches over ALL local chips (1-axis "
+                        "jax.sharding.Mesh; requires --batch_size)")
+    p.add_argument("--int8_vae", action="store_true",
+                   help="W8A8 int8 VAE convs (~17%% faster; per-pixel "
+                        "deviation vs bf16 above 1e-2 — see README)")
     return p
 
 
@@ -74,8 +80,17 @@ def main(argv=None):
         fix_timesteps=args.fix_timesteps,
         resample_method=args.resample_method,
         dtype=dtype,
+        int8_vae=args.int8_vae,
     )
-    pipe = GenPerceptPipeline(models, cfg)
+    mesh = None
+    if args.data_parallel:
+        import numpy as _np
+
+        import jax
+
+        assert args.batch_size != 0, "--data_parallel needs batched mode"
+        mesh = jax.sharding.Mesh(_np.array(jax.devices()), ("data",))
+    pipe = GenPerceptPipeline(models, cfg, mesh=mesh)
 
     rgb_paths = sorted(
         p for p in glob(osp.join(args.input_rgb_dir, "**", "*"), recursive=True)

@@ -26,8 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--exclude", default="",
+                    help="comma-separated path substrings to keep in bf16")
     args = ap.parse_args()
     b = args.batch
+    excludes = [e for e in args.exclude.split(",") if e]
 
     from __graft_entry__ import _flagship_models
     from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
@@ -46,11 +49,18 @@ def main():
 
     pred_a_fp, stats = calib(params, rgb_a)
     jax.block_until_ready(pred_a_fp)
+    def keep(s):
+        return {k: v for k, v in s.items()
+                if not any(e in k for e in excludes)}
+
     params = dict(params)
     params["vae_quant"] = {
-        "enc": quantize_from_stats(models.vae, stats["enc"]),
-        "dec": quantize_from_stats(models.vae, stats["dec"]),
+        "enc": quantize_from_stats(models.vae, keep(stats["enc"])),
+        "dec": quantize_from_stats(models.vae, keep(stats["dec"])),
     }
+    print(json.dumps({"op": "quantized_convs",
+                      "enc": len(params["vae_quant"]["enc"]),
+                      "dec": len(params["vae_quant"]["dec"])}), flush=True)
 
     pred_b_fp = np.asarray(infer_fp(params, rgb_b))
     pred_b_q = np.asarray(infer_q(params, rgb_b))

@@ -435,3 +435,29 @@ def test_cli_infer_overwrite_guard(tmp_path):
             "--dataset_config", "unused.yaml",
             "--output_dir", str(out),
         ])
+
+
+def test_cli_run_batched_data_parallel_int8(tiny_checkpoint, tmp_path):
+    """cli.run --batch_size --data_parallel --int8_vae: device-batched
+    folder inference sharded over the virtual CPU mesh with the quantized
+    VAE (first batch calibrates full-precision)."""
+    from genpercept_tpu.cli.run import main as run_main
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):  # 3 % mesh_size != 0 -> exercises chunk padding
+        Image.fromarray(rng.uniform(0, 255, (80, 80, 3)).astype(np.uint8)).save(
+            in_dir / f"img{i}.png")
+    run_main([
+        "--checkpoint", str(tiny_checkpoint),
+        "--input_rgb_dir", str(in_dir),
+        "--output_dir", str(out_dir),
+        "--mode", "depth", "--processing_res", "64",
+        "--batch_size", "4", "--data_parallel", "--int8_vae",
+    ])
+    for i in range(3):
+        pred = np.load(out_dir / f"img{i}_pred.npy")
+        assert pred.shape == (80, 80)
+        assert 0 <= pred.min() and pred.max() <= 1
