@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_vae", action="store_true",
                    help="W8A8 int8 VAE convs (~17%% faster; per-pixel "
                         "deviation vs bf16 above 1e-2 — see README)")
+    p.add_argument("--int8_unet", action="store_true",
+                   help="with --int8_vae: additionally quantize the UNet's "
+                        "convs + transformer matmuls")
+    p.add_argument("--int8_no_refine", action="store_true",
+                   help="disable the MSE-clip + bias-correction calibration "
+                        "refinements (A/B against plain absmax scales)")
     return p
 
 
@@ -81,6 +87,8 @@ def main(argv=None):
         resample_method=args.resample_method,
         dtype=dtype,
         int8_vae=args.int8_vae,
+        int8_unet=args.int8_unet,
+        int8_refine=not args.int8_no_refine,
     )
     mesh = None
     if args.data_parallel:

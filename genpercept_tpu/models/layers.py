@@ -85,18 +85,7 @@ def resnet_block(
     conv_fn (see ops/quant.py) overrides how conv1/conv2 are applied
     (int8-quantized execution or calibration); `name` prefixes the conv
     paths it sees."""
-    if conv_fn is not None and temb is None:
-        h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], 32, eps)
-        h = jax.nn.silu(h)
-        h = conv_fn(name + ".conv1", p["conv1"], h)
-        h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], 32, eps)
-        h = jax.nn.silu(h)
-        h = conv_fn(name + ".conv2", p["conv2"], h)
-        if "conv_shortcut" in p:
-            x = conv1x1(x, p["conv_shortcut"]["weight"][0, 0],
-                        p["conv_shortcut"].get("bias"))
-        return x + h
-    if fused and temb is None:
+    if fused and temb is None and conv_fn is None:
         from genpercept_tpu.ops import fused_conv as FC
 
         cout = p["conv1"]["weight"].shape[-1]
@@ -114,15 +103,16 @@ def resnet_block(
                 p["conv2"]["weight"], p["conv2"].get("bias"),
                 residual=skip, eps=eps,
             )
+    cf = (lambda _n, cp, xx: conv(cp, xx)) if conv_fn is None else conv_fn
     h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], 32, eps)
     h = jax.nn.silu(h)
-    h = conv(p["conv1"], h)
+    h = cf(name + ".conv1", p["conv1"], h)
     if temb is not None and "time_emb_proj" in p:
         t = dense(p["time_emb_proj"], jax.nn.silu(temb))
         h = h + t[:, None, None, :].astype(h.dtype)
     h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], 32, eps)
     h = jax.nn.silu(h)
-    h = conv(p["conv2"], h)
+    h = cf(name + ".conv2", p["conv2"], h)
     if "conv_shortcut" in p:
         x = conv1x1(x, p["conv_shortcut"]["weight"][0, 0], p["conv_shortcut"].get("bias"))
     return x + h
@@ -174,6 +164,10 @@ def upsample2d(p: Params, x: jax.Array, out_hw: tuple | None = None,
         ys = jnp.minimum((jnp.arange(oh) * h // oh).astype(jnp.int32), h - 1)
         xs = jnp.minimum((jnp.arange(ow) * w // ow).astype(jnp.int32), w - 1)
         x = x[:, ys][:, :, xs]
+    # This explicit-size branch (latents not divisible by 8) deliberately
+    # stays full precision under conv_fn: the quantized upsampler is the
+    # collapsed lhs-dilated 4x4 kernel, whose geometry assumes the exact-x2
+    # path, and production resolutions never land here.
     return conv(p["conv"], x)
 
 
@@ -218,17 +212,27 @@ def init_cross_attention(key, c: int, heads: int, context_dim: int | None) -> Pa
 
 
 def cross_attention(
-    p: Params, x: jax.Array, context: jax.Array | None, heads: int
+    p: Params, x: jax.Array, context: jax.Array | None, heads: int,
+    dense_fn=None, name: str = "",
 ) -> jax.Array:
-    """x: (B, S, C); context: (B, Sk, Ck) or None for self-attention."""
+    """x: (B, S, C); context: (B, Sk, Ck) or None for self-attention.
+
+    dense_fn (ops/quant.py) hooks the q/out projections (and k/v for
+    self-attention; cross-attention k/v act on 77 text tokens — too small
+    to be worth quantizing)."""
+    df = (lambda _n, pp, xx: dense(pp, xx)) if dense_fn is None else dense_fn
     b, s, c = x.shape
     ctx = x if context is None else context
     d = c // heads
-    q = dense(p["to_q"], x).reshape(b, s, heads, d)
-    k = dense(p["to_k"], ctx).reshape(b, ctx.shape[1], heads, d)
-    v = dense(p["to_v"], ctx).reshape(b, ctx.shape[1], heads, d)
+    q = df(name + ".to_q", p["to_q"], x).reshape(b, s, heads, d)
+    if context is None:
+        k = df(name + ".to_k", p["to_k"], ctx).reshape(b, ctx.shape[1], heads, d)
+        v = df(name + ".to_v", p["to_v"], ctx).reshape(b, ctx.shape[1], heads, d)
+    else:
+        k = dense(p["to_k"], ctx).reshape(b, ctx.shape[1], heads, d)
+        v = dense(p["to_v"], ctx).reshape(b, ctx.shape[1], heads, d)
     o = dot_product_attention(q, k, v).reshape(b, s, c)
-    return dense(p["to_out"]["0"], o)
+    return df(name + ".to_out.0", p["to_out"]["0"], o)
 
 
 def init_feed_forward(key, c: int, mult: int = 4) -> Params:
@@ -242,7 +246,8 @@ def init_feed_forward(key, c: int, mult: int = 4) -> Params:
     }
 
 
-def feed_forward(p: Params, x: jax.Array) -> jax.Array:
+def feed_forward(p: Params, x: jax.Array, dense_fn=None,
+                 name: str = "") -> jax.Array:
     """GEGLU feed-forward: proj -> split -> x * gelu(gate) -> linear.
 
     Computed as TWO matmuls over column slices of the fused proj weight
@@ -255,6 +260,19 @@ def feed_forward(p: Params, x: jax.Array) -> jax.Array:
     per 9216-token UNet layer at batch 16)."""
     w = p["net"]["0"]["proj"]["weight"]
     b = p["net"]["0"]["proj"].get("bias")
+    if dense_fn is not None:
+        # quantized/calibration path: the two GEGLU halves stay separate
+        # column-sliced matmuls (same HBM argument as below), each its own
+        # QDense keyed by the :h / :g suffix
+        inner = w.shape[1] // 2
+        hidden = dense_fn(name + ".net.0.proj:h",
+                          {"weight": w[:, :inner],
+                           "bias": None if b is None else b[:inner]}, x)
+        gate = dense_fn(name + ".net.0.proj:g",
+                        {"weight": w[:, inner:],
+                         "bias": None if b is None else b[inner:]}, x)
+        h = hidden * jax.nn.gelu(gate, approximate=False)
+        return dense_fn(name + ".net.2", p["net"]["2"], h)
     from genpercept_tpu.ops import fused_ff as FF
 
     if (jax.default_backend() != "cpu"
@@ -284,15 +302,18 @@ def init_transformer_block(key, c: int, heads: int, context_dim: int) -> Params:
 
 
 def transformer_block(
-    p: Params, x: jax.Array, context: jax.Array, heads: int
+    p: Params, x: jax.Array, context: jax.Array, heads: int,
+    dense_fn=None, name: str = "",
 ) -> jax.Array:
     """BasicTransformerBlock: self-attn, cross-attn, GEGLU FF (pre-LN)."""
     h = layer_norm(x, p["norm1"]["weight"], p["norm1"]["bias"])
-    x = x + cross_attention(p["attn1"], h, None, heads)
+    x = x + cross_attention(p["attn1"], h, None, heads,
+                            dense_fn=dense_fn, name=name + ".attn1")
     h = layer_norm(x, p["norm2"]["weight"], p["norm2"]["bias"])
-    x = x + cross_attention(p["attn2"], h, context, heads)
+    x = x + cross_attention(p["attn2"], h, context, heads,
+                            dense_fn=dense_fn, name=name + ".attn2")
     h = layer_norm(x, p["norm3"]["weight"], p["norm3"]["bias"])
-    x = x + feed_forward(p["ff"], h)
+    x = x + feed_forward(p["ff"], h, dense_fn=dense_fn, name=name + ".ff")
     return x
 
 
@@ -312,17 +333,21 @@ def init_spatial_transformer(
 
 
 def spatial_transformer(
-    p: Params, x: jax.Array, context: jax.Array, heads: int
+    p: Params, x: jax.Array, context: jax.Array, heads: int,
+    dense_fn=None, name: str = "",
 ) -> jax.Array:
     """diffusers Transformer2DModel with use_linear_projection=True (SD2.1):
     GN(eps 1e-6) -> flatten -> linear proj_in -> blocks -> linear proj_out
     -> unflatten -> +residual."""
+    df = (lambda _n, pp, xx: dense(pp, xx)) if dense_fn is None else dense_fn
     n, h, w, c = x.shape
     res = x
     y = group_norm(x, p["norm"]["weight"], p["norm"]["bias"], 32, 1e-6)
     y = y.reshape(n, h * w, c)
-    y = dense(p["proj_in"], y)
+    y = df(name + ".proj_in", p["proj_in"], y)
     for i in range(len(p["transformer_blocks"])):
-        y = transformer_block(p["transformer_blocks"][str(i)], y, context, heads)
-    y = dense(p["proj_out"], y)
+        y = transformer_block(p["transformer_blocks"][str(i)], y, context,
+                              heads, dense_fn=dense_fn,
+                              name=f"{name}.transformer_blocks.{i}")
+    y = df(name + ".proj_out", p["proj_out"], y)
     return res + y.reshape(n, h, w, c)

@@ -155,11 +155,18 @@ def unet_apply(
     encoder_hidden_states: jax.Array,
     cfg: UNetConfig = SD21_UNET,
     return_features: bool = False,
+    conv_fn=None,
+    dense_fn=None,
 ) -> jax.Array | Tuple[Optional[jax.Array], List[jax.Array]]:
     """sample: (N, h, w, 4); timesteps: (N,) or scalar; text states
     (N, 77, 1024). Returns the v-prediction, or with return_features=True a
     tuple (sample_or_None, multi_level_feats) where feats are the 4 up-block
-    outputs (reference custom_unet.py:365-408)."""
+    outputs (reference custom_unet.py:365-408).
+
+    conv_fn / dense_fn (ops/quant.py) hook every resnet/down/up conv and
+    every transformer projection/FF matmul for int8 execution or
+    calibration; conv_in/conv_out, time embedding, cross-attention k/v and
+    the flash attention itself stay full precision."""
     chans = cfg.block_out_channels
     n_blocks = len(chans)
     ctx = encoder_hidden_states
@@ -179,21 +186,29 @@ def unet_apply(
         blk = p["down_blocks"][str(i)]
         has_attn = cfg.down_block_has_attn[i]
         for j in range(cfg.layers_per_block):
-            h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps)
+            h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps,
+                             conv_fn=conv_fn,
+                             name=f"down_blocks.{i}.resnets.{j}")
             if has_attn:
                 h = spatial_transformer(
-                    blk["attentions"][str(j)], h, ctx, cfg.attention_heads[i]
+                    blk["attentions"][str(j)], h, ctx, cfg.attention_heads[i],
+                    dense_fn=dense_fn, name=f"down_blocks.{i}.attentions.{j}",
                 )
             residuals.append(h)
         if "downsamplers" in blk:
-            h = downsample2d(blk["downsamplers"]["0"], h)
+            h = downsample2d(blk["downsamplers"]["0"], h, conv_fn=conv_fn,
+                             name=f"down_blocks.{i}.downsamplers.0")
             residuals.append(h)
 
     # mid
     mid = p["mid_block"]
-    h = resnet_block(mid["resnets"]["0"], h, temb, cfg.norm_eps)
-    h = spatial_transformer(mid["attentions"]["0"], h, ctx, cfg.attention_heads[-1])
-    h = resnet_block(mid["resnets"]["1"], h, temb, cfg.norm_eps)
+    h = resnet_block(mid["resnets"]["0"], h, temb, cfg.norm_eps,
+                     conv_fn=conv_fn, name="mid_block.resnets.0")
+    h = spatial_transformer(mid["attentions"]["0"], h, ctx,
+                            cfg.attention_heads[-1], dense_fn=dense_fn,
+                            name="mid_block.attentions.0")
+    h = resnet_block(mid["resnets"]["1"], h, temb, cfg.norm_eps,
+                     conv_fn=conv_fn, name="mid_block.resnets.1")
 
     # up path, tapping features after every complete up block
     feats: List[jax.Array] = []
@@ -204,15 +219,19 @@ def unet_apply(
         for j in range(cfg.layers_per_block + 1):
             skip = residuals.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps)
+            h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps,
+                             conv_fn=conv_fn,
+                             name=f"up_blocks.{i}.resnets.{j}")
             if rev_attn[i]:
                 h = spatial_transformer(
-                    blk["attentions"][str(j)], h, ctx, rev_heads[i]
+                    blk["attentions"][str(j)], h, ctx, rev_heads[i],
+                    dense_fn=dense_fn, name=f"up_blocks.{i}.attentions.{j}",
                 )
         if "upsamplers" in blk:
             # match the next skip's spatial size (diffusers upsample_size)
             target = residuals[-1].shape[1:3] if residuals else None
-            h = upsample2d(blk["upsamplers"]["0"], h, target)
+            h = upsample2d(blk["upsamplers"]["0"], h, target, conv_fn=conv_fn,
+                           name=f"up_blocks.{i}.upsamplers.0")
         if return_features:
             feats.append(h)
 

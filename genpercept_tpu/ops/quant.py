@@ -66,8 +66,38 @@ class QConv:
 
 
 def absmax_per_channel(x: jax.Array) -> jax.Array:
-    """Per-channel absolute max over (N, H, W) of an NHWC tensor -> (C,) f32."""
-    return jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2))
+    """Per-channel absolute max over all leading axes -> (C,) f32."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)),
+                   axis=tuple(range(x.ndim - 1)))
+
+
+# Candidate clip fractions for the per-channel MSE-optimal scale search.
+# 1.0 = plain absmax; smaller fractions trade a little saturation error on
+# the channel's tail for a finer quantization step on its bulk. The argmin
+# over measured quantization MSE picks per channel.
+CLIP_CANDIDATES = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4)
+
+
+def mse_optimal_clip(x: jax.Array) -> jax.Array:
+    """Per-channel clip value minimizing int8 quantization MSE -> (C,) f32.
+
+    For each channel and each candidate clip a = frac * absmax, simulates
+    symmetric 8-bit round-to-nearest with saturation and measures the mean
+    squared reconstruction error over the calibration tensor; returns the
+    winning clip per channel (Banner et al. 2019 style post-training scale
+    search, done on-device inside the calibration program)."""
+    xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+    amax = jnp.max(jnp.abs(xf), axis=0)
+    a0 = jnp.maximum(amax, 1e-8)
+    errs = []
+    for frac in CLIP_CANDIDATES:
+        a = a0 * frac
+        s = a / 127.0
+        xq = jnp.clip(jnp.round(xf / s), -127.0, 127.0) * s
+        errs.append(jnp.mean(jnp.square(xq - xf), axis=0))
+    best = jnp.argmin(jnp.stack(errs), axis=0)
+    fracs = jnp.asarray(CLIP_CANDIDATES, jnp.float32)
+    return a0 * fracs[best]
 
 
 def merge_stats(a: Dict[str, jax.Array], b: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
@@ -146,6 +176,62 @@ def qconv_apply(q: QConv, x: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+class QDense:
+    """Quantized linear layer: w_int8 (din, dout), inv_a (din,) f32,
+    o_scale (dout,) f32, bias (dout,) f32 or None. Same folding algebra as
+    QConv with the weight's input axis playing the role of ci."""
+
+    def __init__(self, w_int8, inv_a, o_scale, bias):
+        self.w_int8 = w_int8
+        self.inv_a = inv_a
+        self.o_scale = o_scale
+        self.bias = bias
+
+    def tree_flatten(self):
+        return ((self.w_int8, self.inv_a, self.o_scale, self.bias), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def quantize_dense(
+    p: Dict[str, jax.Array], a_absmax: jax.Array, *, margin: float = 1.1,
+    cols: slice | None = None,
+) -> QDense:
+    """Build a QDense from (in, out) linear params + calibrated input absmax.
+    cols selects a column slice of the weight/bias (used to quantize the two
+    halves of the fused GEGLU projection as separate matmuls, preserving the
+    split-FF HBM optimization — see models/layers.py::feed_forward)."""
+    w = p["weight"].astype(jnp.float32)
+    bias = p.get("bias")
+    if cols is not None:
+        w = w[:, cols]
+        bias = None if bias is None else bias[cols]
+    a = jnp.maximum(a_absmax.astype(jnp.float32) * margin, 1e-8)
+    wf = w * (a / 127.0)[:, None]
+    o_scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(wf / o_scale), -127, 127).astype(jnp.int8)
+    bias = None if bias is None else bias.astype(jnp.float32)
+    return QDense(wq, (127.0 / a), o_scale, bias)
+
+
+def qdense_apply(q: QDense, x: jax.Array) -> jax.Array:
+    """Quantize x per input channel, s8 matmul on the MXU, dequantize."""
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * q.inv_a), -127.0, 127.0
+    ).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, q.w_int8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = y.astype(jnp.float32) * q.o_scale
+    if q.bias is not None:
+        out = out + q.bias
+    return out.astype(x.dtype)
+
+
 # ------------------------------------------------------------ conv_fn hooks
 #
 # The VAE traversals (models/vae.py) accept an optional
@@ -154,18 +240,36 @@ def qconv_apply(q: QConv, x: jax.Array) -> jax.Array:
 # upsamplers). These factories build the two interesting hooks.
 
 
-def make_calib_conv_fn(stats: Dict[str, jax.Array]):
-    """Records per-channel input absmax into `stats` (traced values — the
+def make_calib_conv_fn(stats: Dict[str, jax.Array], corr: Dict | None = None,
+                       clip_search: bool = False, margin: float = 1.1):
+    """Records per-channel input scale into `stats` (traced values — the
     caller must return `stats` from the jitted function) and runs the
-    ordinary full-precision conv."""
+    ordinary full-precision conv.
+
+    clip_search replaces the absmax statistic with the MSE-optimal clip.
+    If `corr` is given, the calibration program additionally quantizes the
+    layer in-trace (same arithmetic as quantize_from_stats) and records the
+    per-output-channel mean of (y_fp - y_int8) — the systematic component
+    of the quantization error, E[dW.x] (Banner et al. 2019 bias
+    correction), later folded into the quantized bias by
+    apply_bias_correction. One extra conv per layer, calibration-only."""
     from genpercept_tpu.ops.conv import conv2d, nearest_up2_conv3x3
 
     def conv_fn(name, conv_p, x, *, kind="3x3", stride=1, padding=1):
-        stats[name] = absmax_per_channel(x)
+        a = mse_optimal_clip(x) if clip_search else absmax_per_channel(x)
+        stats[name] = a
         if kind == "up4x4":
-            return nearest_up2_conv3x3(x, conv_p["weight"], conv_p.get("bias"))
-        return conv2d(x, conv_p["weight"], conv_p.get("bias"),
-                      stride=stride, padding=padding)
+            y = nearest_up2_conv3x3(x, conv_p["weight"], conv_p.get("bias"))
+        else:
+            y = conv2d(x, conv_p["weight"], conv_p.get("bias"),
+                       stride=stride, padding=padding)
+        if corr is not None:
+            q = quantize_conv(conv_p, a, kind=kind, stride=stride,
+                              padding=padding, margin=margin)
+            corr[name] = jnp.mean(
+                (y - qconv_apply(q, x)).astype(jnp.float32),
+                axis=tuple(range(y.ndim - 1)))
+        return y
 
     return conv_fn
 
@@ -187,24 +291,89 @@ def make_quant_conv_fn(qtree: Dict[str, QConv]):
     return conv_fn
 
 
-def quantize_from_stats(
-    params: Dict, stats: Dict[str, jax.Array], margin: float = 1.1
-) -> Dict[str, QConv]:
-    """Build the {path: QConv} tree for every calibrated conv.
+def make_calib_dense_fn(stats: Dict[str, jax.Array], corr: Dict | None = None,
+                        clip_search: bool = False, margin: float = 1.1):
+    """Dense analogue of make_calib_conv_fn (p arrives pre-column-sliced
+    for the GEGLU :h/:g halves, so in-trace quantization needs no cols)."""
+    from genpercept_tpu.ops.attention import attention_projection
 
-    `params` is the VAE param tree; paths are dot-joined diffusers-style
-    (e.g. 'decoder.up_blocks.1.resnets.0.conv1'). Geometry is inferred from
-    the path: downsamplers are stride-2 with the encoder's asymmetric
-    (0,1)x(0,1) padding, upsamplers use the collapsed 4x4 lhs-dilated form,
-    everything else is a stride-1 pad-1 3x3."""
-    qtree: Dict[str, QConv] = {}
+    def dense_fn(name, p, x):
+        a = mse_optimal_clip(x) if clip_search else absmax_per_channel(x)
+        stats[name] = a
+        y = attention_projection(x, p["weight"], p.get("bias"))
+        if corr is not None:
+            q = quantize_dense(p, a, margin=margin)
+            corr[name] = jnp.mean(
+                (y - qdense_apply(q, x)).astype(jnp.float32),
+                axis=tuple(range(y.ndim - 1)))
+        return y
+
+    return dense_fn
+
+
+def make_quant_dense_fn(qtree: Dict) -> "callable":
+    from genpercept_tpu.ops.attention import attention_projection
+
+    def dense_fn(name, p, x):
+        q = qtree.get(name)
+        if q is not None:
+            return qdense_apply(q, x)
+        return attention_projection(x, p["weight"], p.get("bias"))
+
+    return dense_fn
+
+
+def apply_bias_correction(qtree: Dict, corr: Dict) -> Dict:
+    """Fold calibration-measured mean errors into the quantized biases:
+    bias += E[y_fp - y_int8]. Layers without a recorded correction pass
+    through unchanged."""
+    out: Dict = {}
+    for k, q in qtree.items():
+        c = corr.get(k)
+        if c is None:
+            out[k] = q
+            continue
+        c = jnp.asarray(c, jnp.float32)
+        bias = c if q.bias is None else q.bias + c
+        if isinstance(q, QConv):
+            out[k] = QConv(q.w_int8, q.inv_a, q.o_scale, bias,
+                           q.kind, q.stride, q.padding)
+        else:
+            out[k] = QDense(q.w_int8, q.inv_a, q.o_scale, bias)
+    return out
+
+
+def quantize_from_stats(
+    params: Dict, stats: Dict[str, jax.Array], margin: float = 1.1,
+    asymmetric_downsample: bool = True,
+) -> Dict[str, QConv]:
+    """Build the {path: QConv | QDense} tree for every calibrated layer.
+
+    `params` is the model param tree; paths are dot-joined diffusers-style
+    (e.g. 'decoder.up_blocks.1.resnets.0.conv1'). A 2-D weight at the path
+    quantizes as a dense layer; a ':h' / ':g' suffix selects the hidden /
+    gate column half of a fused GEGLU projection. Conv geometry is inferred
+    from the path: downsamplers are stride-2 (asymmetric (0,1)x(0,1)
+    padding in the VAE encoder, symmetric pad-1 in the UNet —
+    `asymmetric_downsample` picks), upsamplers use the collapsed 4x4
+    lhs-dilated form, everything else is a stride-1 pad-1 3x3."""
+    qtree: Dict = {}
     for path, amax in stats.items():
+        base, _, tag = path.partition(":")
         node = params
-        for part in path.split("."):
+        for part in base.split("."):
             node = node[part]
-        if "downsamplers" in path:
+        w = node["weight"]
+        if w.ndim == 2:
+            cols = None
+            if tag:
+                inner = w.shape[1] // 2
+                cols = slice(0, inner) if tag == "h" else slice(inner, None)
+            qtree[path] = quantize_dense(node, amax, margin=margin, cols=cols)
+        elif "downsamplers" in path:
+            pad = ((0, 1), (0, 1)) if asymmetric_downsample else 1
             qtree[path] = quantize_conv(
-                node, amax, stride=2, padding=((0, 1), (0, 1)), margin=margin)
+                node, amax, stride=2, padding=pad, margin=margin)
         elif "upsamplers" in path:
             qtree[path] = quantize_conv(node, amax, kind="up4x4", margin=margin)
         else:

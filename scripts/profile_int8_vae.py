@@ -28,16 +28,27 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--exclude", default="",
                     help="comma-separated path substrings to keep in bf16")
+    ap.add_argument("--unet", action="store_true",
+                    help="also quantize the UNet convs (int8_unet mode)")
+    ap.add_argument("--dense", action="store_true",
+                    help="with --unet: quantize the transformer matmuls too "
+                         "(int8_unet_dense; measured slower end-to-end)")
+    ap.add_argument("--no_refine", action="store_true",
+                    help="plain absmax*margin calibration, no clip search "
+                         "or bias correction (A/B baseline)")
     args = ap.parse_args()
     b = args.batch
     excludes = [e for e in args.exclude.split(",") if e]
+    refine = not args.no_refine
 
     from __graft_entry__ import _flagship_models
     from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
-    from genpercept_tpu.ops.quant import quantize_from_stats
+    from genpercept_tpu.ops.quant import apply_bias_correction, quantize_from_stats
 
     models = _flagship_models(jnp.bfloat16)
-    cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16)
+    cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16,
+                         int8_vae=True, int8_unet=args.unet,
+                         int8_unet_dense=args.dense, int8_refine=refine)
     params = models.params()
 
     calib = jax.jit(build_single_infer(models, cfg, "calibrate"))
@@ -54,13 +65,23 @@ def main():
                 if not any(e in k for e in excludes)}
 
     params = dict(params)
+    m = 1.0 if refine else cfg.int8_margin
     params["vae_quant"] = {
-        "enc": quantize_from_stats(models.vae, keep(stats["enc"])),
-        "dec": quantize_from_stats(models.vae, keep(stats["dec"])),
+        "enc": quantize_from_stats(models.vae, keep(stats["enc"]), m),
+        "dec": quantize_from_stats(models.vae, keep(stats["dec"]), m),
     }
+    if args.unet:
+        params["vae_quant"]["unet"] = quantize_from_stats(
+            models.unet, keep(stats["unet"]), m, asymmetric_downsample=False)
+    if refine:
+        params["vae_quant"] = {
+            k: apply_bias_correction(v, stats["corr"][k])
+            for k, v in params["vae_quant"].items()}
     print(json.dumps({"op": "quantized_convs",
                       "enc": len(params["vae_quant"]["enc"]),
-                      "dec": len(params["vae_quant"]["dec"])}), flush=True)
+                      "dec": len(params["vae_quant"]["dec"]),
+                      "unet": len(params["vae_quant"].get("unet", {}))},
+                     ), flush=True)
 
     pred_b_fp = np.asarray(infer_fp(params, rgb_b))
     pred_b_q = np.asarray(infer_q(params, rgb_b))

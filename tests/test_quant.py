@@ -166,3 +166,136 @@ def test_pipeline_int8_vae_end_to_end():
     # full-size parity is measured on-chip by scripts/profile_int8_vae.py
     assert np.abs(second - ref).max() < 0.3
     assert np.abs(second - ref).mean() < 0.05
+
+
+def test_pipeline_int8_unet_end_to_end():
+    """int8_vae + int8_unet(+dense): calibration covers UNet conv AND dense
+    paths (GEGLU halves as :h/:g slices); quantized run stays within the
+    tiny-net error envelope of full precision."""
+    import tests.test_pipeline as TP
+
+    models = TP.tiny_models()
+    # 64 = power of two: every UNet upsample is an exact x2 so all 50 convs
+    # take the quantizable path (odd latent sizes route upsamplers through
+    # the full-precision explicit-size branch — see layers.upsample2d)
+    rgb = np.random.default_rng(8).uniform(size=(64, 64, 3)).astype(np.float32)
+
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    pipe_fp = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0))
+    pipe_q = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0,
+                               int8_vae=True, int8_unet=True,
+                               int8_unet_dense=True))
+
+    ref = pipe_fp(rgb).pred_np
+    first = pipe_q(rgb).pred_np
+    np.testing.assert_allclose(first, ref, atol=1e-6)  # calibration pass
+
+    uq = pipe_q._params["vae_quant"]["unet"]
+    # 8 down resnets x2 + 3 downsamplers + 2 mid x2 + 12 up resnets x2
+    # + 3 upsamplers = 50 convs
+    n_conv = sum(1 for k in uq if "conv" in k or "samplers" in k)
+    n_dense = len(uq) - n_conv
+    assert n_conv == 50
+    # 16 spatial transformers (3 attn down blocks x2 + mid + 3 up x3), each
+    # 11 denses: proj_in/out(2) + attn1 q,k,v,out(4) + attn2 q,out(2)
+    # + ff :h,:g,net.2(3)
+    assert n_dense == 16 * 11
+    from genpercept_tpu.ops.quant import QDense
+    assert any(isinstance(v, QDense) for v in uq.values())
+
+    second = pipe_q(rgb).pred_np
+    assert np.abs(second - ref).max() < 0.35
+    assert np.abs(second - ref).mean() < 0.06
+
+
+def test_pipeline_int8_unet_default_is_conv_only():
+    """Without int8_unet_dense, only the 50 convs quantize (QDense measured
+    slower end-to-end on v5e: it displaces the fused GEGLU kernel)."""
+    import tests.test_pipeline as TP
+
+    from genpercept_tpu.ops.quant import QDense
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    models = TP.tiny_models()
+    rgb = np.random.default_rng(9).uniform(size=(64, 64, 3)).astype(np.float32)
+    pipe_q = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0,
+                               int8_vae=True, int8_unet=True))
+    pipe_q(rgb)
+    uq = pipe_q._params["vae_quant"]["unet"]
+    assert len(uq) == 50
+    assert not any(isinstance(v, QDense) for v in uq.values())
+
+
+def test_mse_optimal_clip_tightens_on_heavy_tails():
+    """With enough bulk elements, a lone huge outlier should get clipped
+    (finer steps for the bulk beat covering the outlier: the crossover
+    needs n*(step^2)/12 savings > (V-c)^2, i.e. large n — real VAE
+    channels hold ~10M elements); a well-behaved channel keeps absmax."""
+    from genpercept_tpu.ops.quant import mse_optimal_clip
+
+    rng = np.random.default_rng(0)
+    n = 1 << 18
+    bulk = rng.normal(0, 1.0, (n, 2)).astype(np.float32)
+    bulk[0, 0] = 100.0  # lone outlier in channel 0
+    clip = np.asarray(mse_optimal_clip(jnp.asarray(bulk)))
+    amax = np.abs(bulk).max(axis=0)
+    assert clip[0] < 0.5 * amax[0]
+    assert clip[1] >= 0.89 * amax[1]
+
+
+def test_bias_correction_zeroes_mean_error_on_calibration_batch():
+    """bias += E[y_fp - y_int8] measured in-calibration makes the corrected
+    quantized layer's per-channel mean error exactly zero on that batch."""
+    from genpercept_tpu.ops.quant import (
+        apply_bias_correction, make_calib_conv_fn, mse_optimal_clip)
+
+    key = jax.random.key(7)
+    kx, kp = jax.random.split(key)
+    x = jax.random.normal(kx, (2, 16, 16, 32), jnp.float32)
+    p = _rand_conv(kp, 32, 24)
+
+    stats, corr = {}, {}
+    conv_fn = make_calib_conv_fn(stats, corr=corr, clip_search=True, margin=1.0)
+    y_fp = conv_fn("c", p, x)
+    qtree = {"c": quantize_conv(p, stats["c"], margin=1.0)}
+    qtree = apply_bias_correction(qtree, corr)
+    y_q = qconv_apply(qtree["c"], x)
+    mean_err = np.asarray(jnp.mean(y_fp - y_q, axis=(0, 1, 2)))
+    np.testing.assert_allclose(mean_err, 0.0, atol=1e-5)
+    # and the correction is non-trivial
+    assert np.abs(np.asarray(corr["c"])).max() > 0
+
+
+def test_refined_quantization_beats_plain_absmax():
+    """Clip search + bias correction should not increase (and normally
+    decreases) the end-to-end quantization MSE of a conv stack with
+    heavy-tailed activations."""
+    from genpercept_tpu.ops.quant import (
+        apply_bias_correction, make_calib_conv_fn)
+
+    key = jax.random.key(3)
+    kx, k1, k2 = jax.random.split(key, 3)
+    # heavy-tailed input (student-t-ish): normal / sqrt(chi2)
+    g = jax.random.normal(kx, (2, 16, 16, 16), jnp.float32)
+    s = jnp.abs(jax.random.normal(k1, (2, 16, 16, 16))) + 0.1
+    x = g / s
+    p1 = _rand_conv(k2, 16, 16)
+
+    def run(refine):
+        stats, corr = {}, {}
+        conv_fn = make_calib_conv_fn(
+            stats, corr=corr if refine else None, clip_search=refine,
+            margin=1.0 if refine else 1.1)
+        y_fp = conv_fn("c", p1, x)
+        m = 1.0 if refine else 1.1
+        qtree = {"c": quantize_conv(p1, stats["c"], margin=m)}
+        if refine:
+            qtree = apply_bias_correction(qtree, corr)
+        y_q = qconv_apply(qtree["c"], x)
+        return float(jnp.mean(jnp.square(y_q - y_fp)))
+
+    assert run(True) <= run(False)
