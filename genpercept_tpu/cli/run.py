@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_no_refine", action="store_true",
                    help="disable the MSE-clip + bias-correction calibration "
                         "refinements (A/B against plain absmax scales)")
+    p.add_argument("--int8_calibration", default=None, metavar="NPZ",
+                   help="calibration cache: load the int8 weight tree from "
+                        "this file if it exists, else calibrate on the "
+                        "first batch and save it there")
     return p
 
 
@@ -99,6 +103,9 @@ def main(argv=None):
         assert args.batch_size != 0, "--data_parallel needs batched mode"
         mesh = jax.sharding.Mesh(_np.array(jax.devices()), ("data",))
     pipe = GenPerceptPipeline(models, cfg, mesh=mesh)
+    if args.int8_calibration and osp.exists(args.int8_calibration):
+        pipe.load_calibration(args.int8_calibration)
+        logging.info(f"loaded int8 calibration from {args.int8_calibration}")
 
     rgb_paths = sorted(
         p for p in glob(osp.join(args.input_rgb_dir, "**", "*"), recursive=True)
@@ -139,6 +146,11 @@ def main(argv=None):
         for path in rgb_paths:
             image = np.asarray(Image.open(path).convert("RGB"))
             save_one(path, pipe(image, rng=rng))
+
+    if (args.int8_calibration and pipe._calibrated and args.int8_vae
+            and not osp.exists(args.int8_calibration)):
+        pipe.save_calibration(args.int8_calibration)
+        logging.info(f"saved int8 calibration to {args.int8_calibration}")
 
 
 if __name__ == "__main__":

@@ -323,6 +323,59 @@ def make_quant_dense_fn(qtree: Dict) -> "callable":
     return dense_fn
 
 
+def save_calibration(path, vq: Dict[str, Dict]) -> None:
+    """Persist a calibrated {'enc'|'dec'|'unet': {path: QConv|QDense}} tree
+    to one .npz so deployments (cli.run --int8_calibration, cli.serve)
+    calibrate once and reload instead of paying the extra full-precision
+    compile + pass per process. '|'-joined keys; static conv geometry in a
+    JSON __meta__ entry."""
+    import json
+
+    import numpy as np
+
+    arrays: Dict[str, "np.ndarray"] = {}
+    meta: Dict[str, dict] = {}
+    for group, tree in vq.items():
+        for name, q in tree.items():
+            key = f"{group}|{name}"
+            if isinstance(q, QConv):
+                meta[key] = {"type": "conv", "kind": q.kind,
+                             "stride": list(q.stride),
+                             "padding": [list(p) for p in q.padding]}
+            else:
+                meta[key] = {"type": "dense"}
+            arrays[key + "|w"] = np.asarray(q.w_int8)
+            arrays[key + "|a"] = np.asarray(q.inv_a)
+            arrays[key + "|s"] = np.asarray(q.o_scale)
+            if q.bias is not None:
+                arrays[key + "|b"] = np.asarray(q.bias)
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_calibration(path) -> Dict[str, Dict]:
+    """Inverse of save_calibration -> {'enc'|...: {path: QConv|QDense}}."""
+    import json
+
+    import numpy as np
+
+    with np.load(path) as z:
+        meta = json.loads(str(z["__meta__"]))
+        vq: Dict[str, Dict] = {}
+        for key, m in meta.items():
+            group, name = key.split("|", 1)
+            w = jnp.asarray(z[key + "|w"])
+            a = jnp.asarray(z[key + "|a"])
+            s = jnp.asarray(z[key + "|s"])
+            b = jnp.asarray(z[key + "|b"]) if key + "|b" in z else None
+            if m["type"] == "conv":
+                q = QConv(w, a, s, b, m["kind"], tuple(m["stride"]),
+                          tuple(tuple(p) for p in m["padding"]))
+            else:
+                q = QDense(w, a, s, b)
+            vq.setdefault(group, {})[name] = q
+    return vq
+
+
 def apply_bias_correction(qtree: Dict, corr: Dict) -> Dict:
     """Fold calibration-measured mean errors into the quantized biases:
     bias += E[y_fp - y_int8]. Layers without a recorded correction pass

@@ -373,6 +373,26 @@ class GenPerceptPipeline:
             return pred
         return self._infer(self._params, x, noise)
 
+    def save_calibration(self, path) -> None:
+        """Persist the int8 weight tree built by the first (calibration)
+        batch; a later process loads it with load_calibration and skips the
+        full-precision calibration pass entirely."""
+        from genpercept_tpu.ops.quant import save_calibration
+
+        assert self.cfg.int8_vae and self._calibrated, (
+            "run at least one batch with int8_vae=True before saving")
+        save_calibration(path, jax.device_get(self._params["vae_quant"]))
+
+    def load_calibration(self, path) -> None:
+        from genpercept_tpu.ops.quant import load_calibration
+
+        assert self.cfg.int8_vae, "calibration needs int8_vae=True"
+        vq = load_calibration(path)
+        if self.mesh is not None:
+            vq = jax.device_put(vq, self._repl)
+        self._params["vae_quant"] = vq
+        self._calibrated = True
+
     def __call__(
         self,
         image: np.ndarray,

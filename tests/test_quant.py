@@ -299,3 +299,30 @@ def test_refined_quantization_beats_plain_absmax():
         return float(jnp.mean(jnp.square(y_q - y_fp)))
 
     assert run(True) <= run(False)
+
+
+def test_calibration_save_load_roundtrip(tmp_path):
+    """save_calibration/load_calibration round-trips the int8 weight tree
+    bit-exactly: a fresh pipeline that loads the cache skips the
+    full-precision calibration pass and reproduces the donor's quantized
+    outputs exactly."""
+    import tests.test_pipeline as TP
+
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    models = TP.tiny_models()
+    rgb = np.random.default_rng(11).uniform(size=(64, 64, 3)).astype(np.float32)
+    cfg = PipelineConfig(mode="depth", processing_res=0,
+                         int8_vae=True, int8_unet=True)
+
+    donor = GenPerceptPipeline(models, cfg)
+    donor(rgb)  # calibration pass
+    quant_out = donor(rgb).pred_np
+    path = tmp_path / "calib.npz"
+    donor.save_calibration(path)
+
+    fresh = GenPerceptPipeline(models, cfg)
+    fresh.load_calibration(path)
+    assert fresh._calibrated
+    loaded_out = fresh(rgb).pred_np  # FIRST call already quantized
+    np.testing.assert_array_equal(loaded_out, quant_out)
