@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_no_refine", action="store_true",
                    help="disable the MSE-clip + bias-correction calibration "
                         "refinements (A/B against plain absmax scales)")
+    p.add_argument("--int8_exclude", default=None, metavar="SUBSTR[,..]",
+                   help="layers whose path contains any of these stay full "
+                        "precision (default: the measured-bad placements, "
+                        "encoder. and decoder.up_blocks.3.; pass 'none' "
+                        "for maximum-throughput placement)")
     p.add_argument("--int8_calibration", default=None, metavar="NPZ",
                    help="calibration cache: load the int8 weight tree from "
                         "this file if it exists, else calibrate on the "
@@ -93,6 +98,9 @@ def main(argv=None):
         int8_vae=args.int8_vae,
         int8_unet=args.int8_unet,
         int8_refine=not args.int8_no_refine,
+        **({} if args.int8_exclude is None else {
+            "int8_exclude": () if args.int8_exclude == "none"
+            else tuple(s for s in args.int8_exclude.split(",") if s)}),
     )
     mesh = None
     if args.data_parallel:

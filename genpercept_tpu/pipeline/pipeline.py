@@ -98,6 +98,18 @@ class PipelineConfig:
     # quantized bias). Roughly halves the int8-vs-bf16 deviation at no
     # runtime cost; off only for A/B against the plain absmax scheme.
     int8_refine: bool = True
+    # Placement: layers whose path contains any of these substrings stay
+    # full precision. The default is the measured max-fidelity placement
+    # (v5e sweep, scripts/profile_int8_vae.py): the VAE *encoder* is the
+    # dominant fidelity cost — latent-space errors amplify through the
+    # whole UNet+decoder chain, and quantizing it doubles the end-to-end
+    # deviation (mean 0.99e-2 -> 2.09e-2) — and the decoder's 128-channel
+    # tail (decoder.up_blocks.3) buys the final margin under the 1e-2 bar
+    # (1.06e-2 -> 0.99e-2; its 128-deep contractions also can't reach the
+    # MXU's 2x int8 rate in isolation). This placement measures 18.2 img/s
+    # vs 16.3 bf16; set to () for maximum throughput (19.6 img/s at 2x the
+    # deviation).
+    int8_exclude: tuple = ("encoder.", "decoder.up_blocks.3.")
 
     def __post_init__(self):
         if self.arch == "genpercept":
@@ -355,13 +367,19 @@ class GenPerceptPipeline:
 
             pred, stats = self._calib_infer(self._params, x, noise)
             m = 1.0 if self.cfg.int8_refine else self.cfg.int8_margin
+            excl = self.cfg.int8_exclude
+
+            def keep(s):
+                return {k: v for k, v in s.items()
+                        if not any(e in k for e in excl)}
+
             vq = {
-                "enc": quantize_from_stats(self.models.vae, stats["enc"], m),
-                "dec": quantize_from_stats(self.models.vae, stats["dec"], m),
+                "enc": quantize_from_stats(self.models.vae, keep(stats["enc"]), m),
+                "dec": quantize_from_stats(self.models.vae, keep(stats["dec"]), m),
             }
             if self.cfg.int8_unet:
                 vq["unet"] = quantize_from_stats(
-                    self.models.unet, stats["unet"], m,
+                    self.models.unet, keep(stats["unet"]), m,
                     asymmetric_downsample=False)
             if self.cfg.int8_refine:
                 vq = {k: apply_bias_correction(v, stats["corr"][k])

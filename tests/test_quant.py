@@ -150,7 +150,8 @@ def test_pipeline_int8_vae_end_to_end():
     from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
 
     cfg_fp = PipelineConfig(mode="depth", processing_res=0)
-    cfg_q = PipelineConfig(mode="depth", processing_res=0, int8_vae=True)
+    cfg_q = PipelineConfig(mode="depth", processing_res=0, int8_vae=True,
+                       int8_exclude=())
     pipe_fp = GenPerceptPipeline(models, cfg_fp)
     pipe_q = GenPerceptPipeline(models, cfg_q)
 
@@ -187,7 +188,7 @@ def test_pipeline_int8_unet_end_to_end():
     pipe_q = GenPerceptPipeline(
         models, PipelineConfig(mode="depth", processing_res=0,
                                int8_vae=True, int8_unet=True,
-                               int8_unet_dense=True))
+                               int8_unet_dense=True, int8_exclude=()))
 
     ref = pipe_fp(rgb).pred_np
     first = pipe_q(rgb).pred_np
@@ -223,7 +224,8 @@ def test_pipeline_int8_unet_default_is_conv_only():
     rgb = np.random.default_rng(9).uniform(size=(64, 64, 3)).astype(np.float32)
     pipe_q = GenPerceptPipeline(
         models, PipelineConfig(mode="depth", processing_res=0,
-                               int8_vae=True, int8_unet=True))
+                               int8_vae=True, int8_unet=True,
+                               int8_exclude=()))
     pipe_q(rgb)
     uq = pipe_q._params["vae_quant"]["unet"]
     assert len(uq) == 50
@@ -313,7 +315,7 @@ def test_calibration_save_load_roundtrip(tmp_path):
     models = TP.tiny_models()
     rgb = np.random.default_rng(11).uniform(size=(64, 64, 3)).astype(np.float32)
     cfg = PipelineConfig(mode="depth", processing_res=0,
-                         int8_vae=True, int8_unet=True)
+                         int8_vae=True, int8_unet=True, int8_exclude=())
 
     donor = GenPerceptPipeline(models, cfg)
     donor(rgb)  # calibration pass
@@ -326,3 +328,56 @@ def test_calibration_save_load_roundtrip(tmp_path):
     assert fresh._calibrated
     loaded_out = fresh(rgb).pred_np  # FIRST call already quantized
     np.testing.assert_array_equal(loaded_out, quant_out)
+
+
+def test_pallas_quantized_conv3x3_matches_xla_qconv():
+    """ops/quant_conv.py kernel (interpret mode) vs the XLA qconv_apply
+    path: identical int8 arithmetic, so outputs must agree to f32 epilogue
+    rounding — including the zero-padded borders across stripe boundaries."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.ops.quant_conv import quantized_conv3x3, supported
+
+    key = jax.random.key(21)
+    kx, kp = jax.random.split(key)
+    x = jax.random.normal(kx, (2, 24, 16, 128), jnp.float32)
+    p = _rand_conv(kp, 128, 128)
+    q = quantize_conv(p, absmax_per_channel(x), margin=1.0)
+    assert supported(x.shape, 128)
+
+    ref = qconv_apply(q, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = quantized_conv3x3(x, q.w_int8, q.inv_a, q.o_scale, q.bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # bf16 activations (production dtype): quantization happens in f32
+    # inside both paths, outputs cast back to bf16
+    xb = x.astype(jnp.bfloat16)
+    ref_b = qconv_apply(q, xb)
+    with pltpu.force_tpu_interpret_mode():
+        out_b = quantized_conv3x3(xb, q.w_int8, q.inv_a, q.o_scale, q.bias)
+    np.testing.assert_array_equal(np.asarray(out_b.astype(jnp.float32)),
+                                  np.asarray(ref_b.astype(jnp.float32)))
+
+
+def test_default_int8_placement_excludes_encoder_and_decoder_tail():
+    """The default int8_exclude keeps the VAE encoder (dominant fidelity
+    cost: latent errors amplify downstream) and the decoder's 128-channel
+    tail (128-deep contractions are slower in int8 than bf16 on the MXU)
+    in full precision."""
+    import tests.test_pipeline as TP
+
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    models = TP.tiny_models()
+    rgb = np.random.default_rng(13).uniform(size=(64, 64, 3)).astype(np.float32)
+    pipe = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0,
+                               int8_vae=True, int8_unet=True))
+    pipe(rgb)
+    vq = pipe._params["vae_quant"]
+    assert len(vq["enc"]) == 0
+    assert len(vq["dec"]) == 31 - 6  # up_blocks.3: 3 resnets x 2 convs
+    assert not any("up_blocks.3." in k for k in vq["dec"])
+    assert len(vq["unet"]) == 50
