@@ -23,6 +23,8 @@ RES = 768
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import os
 
     from genpercept_tpu.pipeline import PipelineConfig, build_single_infer

@@ -39,6 +39,9 @@ def build_parser():
 def main(argv=None):
     import jax
     import jax.numpy as jnp
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
 
     from genpercept_tpu.data import DatasetMode, get_dataset
     from genpercept_tpu.data.datasets import get_pred_name

@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     import jax.numpy as jnp
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from PIL import Image
 
     from genpercept_tpu.io.checkpoints import load_genpercept_checkpoint

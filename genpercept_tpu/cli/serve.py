@@ -209,6 +209,9 @@ def make_server(args, pipe=None) -> ThreadingHTTPServer:
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     args = build_parser().parse_args(argv)
     server = make_server(args)
     logging.info(f"serving mode={args.mode} on http://{args.host}:{server.server_address[1]}")

@@ -217,6 +217,9 @@ def apply_model_overrides(cfg, models, seed) -> None:
 def main(argv=None):
     import jax
     import jax.numpy as jnp
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import numpy as np
 
     from genpercept_tpu.data import DatasetMode, MixedBatchSampler, get_dataset

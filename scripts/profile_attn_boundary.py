@@ -66,6 +66,8 @@ def marginal_time_chain(fn, params, x, n_lo=2, n_hi=8):
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--part", default="all")

@@ -67,6 +67,8 @@ def conv_int8_deq(x, w):
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     key = jax.random.key(0)
     # decoder hot shapes: (b, H, W, C) with 3x3 CxC kernels
     shapes = [

@@ -48,6 +48,8 @@ def timeit(fn, params, x, n_lo=4, n_hi=12):
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()

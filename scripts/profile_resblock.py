@@ -49,6 +49,8 @@ def marginal_time(fn, params, x, n_lo=2, n_hi=8):
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--level", default="all", help="768 | 384 | 192 | all")

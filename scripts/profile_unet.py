@@ -92,6 +92,8 @@ def flash_with_blocks(q_blk, k_blk):
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--part", default="all")

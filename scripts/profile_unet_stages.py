@@ -126,6 +126,8 @@ def unet_prefix(p, sample, ctx, stop, cfg=SD21_UNET):
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--latent", type=int, default=96)

@@ -77,6 +77,8 @@ def phase_up2_conv3x3(x, kernel, bias=None):
 
 
 def main():
+    from genpercept_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
