@@ -170,6 +170,7 @@ def resolve_train_config(cfg, grad_accum_steps: int = 1, mode: str = None):
         multi_res_noise_strategy=(mrn or {}).get("downscale_strategy", "original"),
         multi_res_noise_annealed=(mrn or {}).get("annealed", False),
         remat_unet=cfg.get_path("model.remat_unet", True),
+        remat_granularity=cfg.get_path("model.remat_granularity", "unet"),
         adam_mu_dtype=jnp.bfloat16
         if cfg.get_path("optimizer.mu_dtype") == "bf16" else None,
         compute_dtype=jnp.bfloat16

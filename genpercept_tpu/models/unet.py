@@ -157,6 +157,7 @@ def unet_apply(
     return_features: bool = False,
     conv_fn=None,
     dense_fn=None,
+    remat: Optional[str] = None,
 ) -> jax.Array | Tuple[Optional[jax.Array], List[jax.Array]]:
     """sample: (N, h, w, 4); timesteps: (N,) or scalar; text states
     (N, 77, 1024). Returns the v-prediction, or with return_features=True a
@@ -166,10 +167,35 @@ def unet_apply(
     conv_fn / dense_fn (ops/quant.py) hook every resnet/down/up conv and
     every transformer projection/FF matmul for int8 execution or
     calibration; conv_in/conv_out, time embedding, cross-attention k/v and
-    the flash attention itself stay full precision."""
+    the flash attention itself stay full precision.
+
+    remat="block" checkpoints each (resnet [+ transformer]) unit separately
+    (training only; mutually exclusive with conv_fn/dense_fn hooks): the
+    backward holds one unit's internals at a time instead of the whole
+    UNet's, which is what lets the 768^2 recipe raise its per-chip
+    micro-batch. Skip/boundary tensors are saved either way."""
     chans = cfg.block_out_channels
     n_blocks = len(chans)
     ctx = encoder_hidden_states
+
+    block_remat = remat == "block"
+    if block_remat:
+        assert conv_fn is None and dense_fn is None, (
+            "block remat is a training feature; quant hooks are inference")
+
+    def make_unit(has_attn, heads, concat_skip=False):
+        """One checkpointable (resnet [+ transformer]) unit; statics closed
+        over, traced operands passed explicitly."""
+
+        def unit(rp, ap, h, skip, temb, ctx):
+            if concat_skip:
+                h = jnp.concatenate([h, skip], axis=-1)
+            h = resnet_block(rp, h, temb, cfg.norm_eps)
+            if has_attn:
+                h = spatial_transformer(ap, h, ctx, heads)
+            return h
+
+        return jax.checkpoint(unit) if block_remat else unit
 
     if timesteps.ndim == 0:
         timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -186,14 +212,20 @@ def unet_apply(
         blk = p["down_blocks"][str(i)]
         has_attn = cfg.down_block_has_attn[i]
         for j in range(cfg.layers_per_block):
-            h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps,
-                             conv_fn=conv_fn,
-                             name=f"down_blocks.{i}.resnets.{j}")
-            if has_attn:
-                h = spatial_transformer(
-                    blk["attentions"][str(j)], h, ctx, cfg.attention_heads[i],
-                    dense_fn=dense_fn, name=f"down_blocks.{i}.attentions.{j}",
-                )
+            if block_remat:
+                unit = make_unit(has_attn, cfg.attention_heads[i])
+                ap = blk["attentions"][str(j)] if has_attn else None
+                h = unit(blk["resnets"][str(j)], ap, h, None, temb, ctx)
+            else:
+                h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps,
+                                 conv_fn=conv_fn,
+                                 name=f"down_blocks.{i}.resnets.{j}")
+                if has_attn:
+                    h = spatial_transformer(
+                        blk["attentions"][str(j)], h, ctx,
+                        cfg.attention_heads[i], dense_fn=dense_fn,
+                        name=f"down_blocks.{i}.attentions.{j}",
+                    )
             residuals.append(h)
         if "downsamplers" in blk:
             h = downsample2d(blk["downsamplers"]["0"], h, conv_fn=conv_fn,
@@ -202,13 +234,18 @@ def unet_apply(
 
     # mid
     mid = p["mid_block"]
-    h = resnet_block(mid["resnets"]["0"], h, temb, cfg.norm_eps,
-                     conv_fn=conv_fn, name="mid_block.resnets.0")
-    h = spatial_transformer(mid["attentions"]["0"], h, ctx,
-                            cfg.attention_heads[-1], dense_fn=dense_fn,
-                            name="mid_block.attentions.0")
-    h = resnet_block(mid["resnets"]["1"], h, temb, cfg.norm_eps,
-                     conv_fn=conv_fn, name="mid_block.resnets.1")
+    if block_remat:
+        unit = make_unit(True, cfg.attention_heads[-1])
+        h = unit(mid["resnets"]["0"], mid["attentions"]["0"], h, None, temb, ctx)
+        h = make_unit(False, 0)(mid["resnets"]["1"], None, h, None, temb, ctx)
+    else:
+        h = resnet_block(mid["resnets"]["0"], h, temb, cfg.norm_eps,
+                         conv_fn=conv_fn, name="mid_block.resnets.0")
+        h = spatial_transformer(mid["attentions"]["0"], h, ctx,
+                                cfg.attention_heads[-1], dense_fn=dense_fn,
+                                name="mid_block.attentions.0")
+        h = resnet_block(mid["resnets"]["1"], h, temb, cfg.norm_eps,
+                         conv_fn=conv_fn, name="mid_block.resnets.1")
 
     # up path, tapping features after every complete up block
     feats: List[jax.Array] = []
@@ -218,15 +255,20 @@ def unet_apply(
         blk = p["up_blocks"][str(i)]
         for j in range(cfg.layers_per_block + 1):
             skip = residuals.pop()
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps,
-                             conv_fn=conv_fn,
-                             name=f"up_blocks.{i}.resnets.{j}")
-            if rev_attn[i]:
-                h = spatial_transformer(
-                    blk["attentions"][str(j)], h, ctx, rev_heads[i],
-                    dense_fn=dense_fn, name=f"up_blocks.{i}.attentions.{j}",
-                )
+            if block_remat:
+                unit = make_unit(rev_attn[i], rev_heads[i], concat_skip=True)
+                ap = blk["attentions"][str(j)] if rev_attn[i] else None
+                h = unit(blk["resnets"][str(j)], ap, h, skip, temb, ctx)
+            else:
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = resnet_block(blk["resnets"][str(j)], h, temb, cfg.norm_eps,
+                                 conv_fn=conv_fn,
+                                 name=f"up_blocks.{i}.resnets.{j}")
+                if rev_attn[i]:
+                    h = spatial_transformer(
+                        blk["attentions"][str(j)], h, ctx, rev_heads[i],
+                        dense_fn=dense_fn, name=f"up_blocks.{i}.attentions.{j}",
+                    )
         if "upsamplers" in blk:
             # match the next skip's spatial size (diffusers upsample_size)
             target = residuals[-1].shape[1:3] if residuals else None

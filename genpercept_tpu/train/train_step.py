@@ -87,6 +87,12 @@ class TrainConfig:
     # rematerialize the UNet forward in backward (trades FLOPs for HBM,
     # enabling larger per-chip batch — jax.checkpoint)
     remat_unet: bool = False
+    # "unet": one checkpoint around the whole UNet (backward recompute holds
+    # every UNet activation at once); "block": checkpoint each
+    # resnet+transformer unit (peak = boundaries + ONE unit's internals) —
+    # same recompute FLOPs, much lower peak HBM, unlocking larger per-chip
+    # micro-batches at 768^2
+    remat_granularity: str = "unet"
     # per-block remat of the VAE decode inside pixel losses: the decoder's
     # backward otherwise holds every 768^2-level activation simultaneously
     # (~4+ GB at batch 2), which together with optimizer state OOMs the
@@ -133,14 +139,19 @@ def build_loss_fn(cfg: TrainConfig, models):
     sched = make_scheduler(cfg.scheduler)
     use_head = models.dpt_head is not None
 
+    unet_remat = (
+        "block" if cfg.remat_unet and cfg.remat_granularity == "block" else None
+    )
+
     def _unet_plain(p, x, t, ctx):
-        return unet_apply(p, x, t, ctx, unet_cfg)
+        return unet_apply(p, x, t, ctx, unet_cfg, remat=unet_remat)
 
     def _unet_feats(p, x, t, ctx):
-        _, feats = unet_apply(p, x, t, ctx, unet_cfg, return_features=True)
+        _, feats = unet_apply(p, x, t, ctx, unet_cfg, return_features=True,
+                              remat=unet_remat)
         return feats
 
-    if cfg.remat_unet:
+    if cfg.remat_unet and unet_remat is None:
         _unet_plain = jax.checkpoint(_unet_plain)
         _unet_feats = jax.checkpoint(_unet_feats)
 

@@ -35,6 +35,10 @@ def main():
     # backward's held activations OOM the 16 GB HBM
     ap.add_argument("--no_remat", dest="remat", action="store_false")
     ap.set_defaults(remat=True)
+    # per-unit UNet checkpointing: same recompute FLOPs as whole-UNet remat
+    # but the backward holds ONE unit's internals at a time -> larger
+    # micro-batches fit the 16 GB chip
+    ap.add_argument("--block_remat", action="store_true")
     # production cli.train loads fp32 master weights (bf16 is this bench's
     # default to mirror the memory-lean config); use --fp32_masters to
     # measure the exact production dtype mix (fp32 masters, bf16 compute)
@@ -57,6 +61,7 @@ def main():
         compute_dtype=jnp.bfloat16,
         adam_mu_dtype=jnp.bfloat16,
         remat_unet=args.remat,
+        remat_granularity="block" if args.block_remat else "unet",
     )
     trainable, frozen, tx, opt_state = init_train_state(models.params(), cfg)
     step_inner = build_train_step(cfg, models, tx)
@@ -119,6 +124,7 @@ def main():
         "batch": b,
         "res": hw,
         "remat": args.remat,
+        "granularity": "block" if args.block_remat else "unet",
         "platform": jax.devices()[0].platform,
     }))
 

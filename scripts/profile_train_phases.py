@@ -34,23 +34,26 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def marginal_time(step, carry0, n_lo=2, n_hi=6):
-    """step(carry, i) -> carry with a data dependency; returns marginal s/iter."""
+def marginal_time(step, carry0, consts=(), n_lo=2, n_hi=6):
+    """step(consts, carry, i) -> carry with a data dependency; returns marginal
+    s/iter. `consts` (e.g. a params tree) MUST come in as a jit argument, not a
+    closure: closed-over arrays bake into the HLO as constants (an 865M-param
+    UNet adds ~1.7 GB of literals), which breaks the remote-compile transport."""
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run_n(carry, n):
-        carry = jax.lax.fori_loop(0, n, lambda i, c: step(c, i), carry)
+    def run_n(consts, carry, n):
+        carry = jax.lax.fori_loop(0, n, lambda i, c: step(consts, c, i), carry)
         return jax.tree.map(
             lambda x: x.astype(jnp.float32).sum(), jax.tree.leaves(carry)[0]
         )
 
-    float(run_n(carry0, n_lo))
-    float(run_n(carry0, n_hi))
+    float(run_n(consts, carry0, n_lo))
+    float(run_n(consts, carry0, n_hi))
     t0 = time.perf_counter()
-    float(run_n(carry0, n_lo))
+    float(run_n(consts, carry0, n_lo))
     t_lo = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run_n(carry0, n_hi))
+    float(run_n(consts, carry0, n_hi))
     t_hi = time.perf_counter() - t0
     return (t_hi - t_lo) / (n_hi - n_lo)
 
@@ -89,7 +92,15 @@ def main():
 
     results = {}
 
-    def emit(name, dt):
+    def emit(name, timer):
+        # the remote compiler intermittently drops connections ("Broken
+        # pipe"); don't let one part kill the sweep — the compile cache makes
+        # a re-run resume where it failed
+        try:
+            dt = timer()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"part": name, "error": str(e)[:120]}), flush=True)
+            return
         results[name] = dt
         print(json.dumps({"part": name, "ms": round(dt * 1e3, 1)}), flush=True)
 
@@ -101,31 +112,34 @@ def main():
         lambda p, z: unet_apply(p, z, jnp.int32(1), text, unet_cfg))
 
     if "encode" in parts:
-        def step(c, i):
+        def step(vp, c, i):
             acc, x = c
-            out = vae_encode(params["vae"], x, vae_cfg)
+            out = vae_encode(vp, x, vae_cfg)
             s = jnp.sum(out).astype(jnp.float32)
             return (acc + s, x * (1.0 + s.astype(x.dtype) * 1e-30))
-        emit("encode", marginal_time(step, (jnp.float32(0.0), rgb)))
+        emit("encode", lambda: marginal_time(
+            step, (jnp.float32(0.0), rgb), params["vae"]))
 
     if "unet_fwd" in parts:
-        def step(c, i):
+        def step(up, c, i):
             acc, z = c
-            out = unet_fn(params["unet"], z)
+            out = unet_apply(up, z, jnp.int32(1), text, unet_cfg)
             s = jnp.sum(out).astype(jnp.float32)
             return (acc + s, z * (1.0 + s.astype(z.dtype) * 1e-30))
-        emit("unet_fwd", marginal_time(step, (jnp.float32(0.0), latent)))
+        emit("unet_fwd", lambda: marginal_time(
+            step, (jnp.float32(0.0), latent), params["unet"]))
 
     if "unet_bwd" in parts:
         gf = jax.value_and_grad(
             lambda p, z: jnp.sum(unet_fn(p, z)).astype(jnp.float32))
 
-        def step(c, i):
+        def step(up, c, i):
             acc, z = c
-            v, g = gf(params["unet"], z)
+            v, g = gf(up, z)
             s = v + jax.tree.leaves(g)[0].astype(jnp.float32).sum()
             return (acc + s, z * (1.0 + s.astype(z.dtype) * 1e-30))
-        emit("unet_bwd", marginal_time(step, (jnp.float32(0.0), latent)))
+        emit("unet_bwd", lambda: marginal_time(
+            step, (jnp.float32(0.0), latent), params["unet"]))
 
     if "decode_bwd" in parts:
         gf = jax.value_and_grad(
@@ -133,52 +147,55 @@ def main():
                 vae_decode(p, z, vae_cfg, remat=True)).astype(jnp.float32),
             argnums=(0, 1))
 
-        def step(c, i):
+        def step(vp, c, i):
             acc, z = c
-            v, (gp, gz) = gf(params["vae"], z)
+            v, (gp, gz) = gf(vp, z)
             s = v + jax.tree.leaves(gp)[0].astype(jnp.float32).sum()
             return (acc + s, z * (1.0 + s.astype(z.dtype) * 1e-30))
-        emit("decode_bwd", marginal_time(step, (jnp.float32(0.0), latent)))
+        emit("decode_bwd", lambda: marginal_time(
+            step, (jnp.float32(0.0), latent), params["vae"]))
 
     if "losses" in parts:
-        targ = rgb[..., 0].astype(jnp.float32) + 2.0
-
-        def lfn(pred):
+        def lfn(pred, targ):
             p32 = pred.astype(jnp.float32) + 2.0
             return (L.masked_mse(p32, targ, mask)
                     + 0.5 * L.ssi_loss(p32, targ, mask, "least_square")
                     + 2.0 * L.gradient_loss(p32, targ, mask))
         gf = jax.value_and_grad(lfn)
 
-        def step(c, i):
+        def step(targ, c, i):
             acc, x = c
-            v, g = gf(x)
+            v, g = gf(x, targ)
             s = v + jnp.sum(g)
             return (acc + s, x * (1.0 + s.astype(x.dtype) * 1e-30))
-        emit("losses", marginal_time(step, (jnp.float32(0.0), rgb[..., 0])))
+        emit("losses", lambda: marginal_time(
+            step, (jnp.float32(0.0), rgb[..., 0]),
+            rgb[..., 0].astype(jnp.float32) + 2.0))
 
     if "adam" in parts:
         grads = jax.tree.map(lambda p: jnp.ones(p.shape, jnp.float32), trainable)
 
-        def step(c, i):
+        def step(g, c, i):
             tr, opt = c
             import optax
-            upd, opt = tx.update(grads, opt, tr)
+            upd, opt = tx.update(g, opt, tr)
             tr = optax.apply_updates(tr, upd)
             return (tr, opt)
-        emit("adam", marginal_time(step, (trainable, opt_state)))
+        emit("adam", lambda: marginal_time(step, (trainable, opt_state), grads))
 
     if "full" in parts:
         step_inner = build_train_step(cfg, models, tx)
         batch = {"rgb_norm": rgb.astype(jnp.float32),
                  "gt_norm": rgb.astype(jnp.float32), "valid_mask": mask}
 
-        def step(c, i):
+        def step(consts, c, i):
+            fr, bt = consts
             tr, opt = c
             tr, opt, _ = step_inner(
-                tr, frozen, opt, batch, jax.random.fold_in(jax.random.key(7), i))
+                tr, fr, opt, bt, jax.random.fold_in(jax.random.key(7), i))
             return (tr, opt)
-        emit("full", marginal_time(step, (trainable, opt_state)))
+        emit("full", lambda: marginal_time(
+            step, (trainable, opt_state), (frozen, batch)))
 
     known = sum(v for k, v in results.items()
                 if k in ("unet_bwd", "decode_bwd", "losses", "adam"))
