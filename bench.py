@@ -7,11 +7,24 @@ Prints ONE JSON line:
 Baseline: the reference's ~0.4 s/img single-image loop on an A800
 (BASELINE.md; reference README.md:101) == 2.5 img/s.
 
-Runs the full jitted pipeline (VAE encode -> SD2.1 UNet one-step -> VAE
-decode -> depth postproc) in bfloat16 at the batch size from the v5e oracle,
-on whatever backend JAX selects (TPU under the driver).
+What is measured: the production inference configuration — the full jitted
+pipeline (VAE encode -> SD2.1 UNet one-step -> VAE decode -> depth postproc)
+in bfloat16 with the W8A8 int8 conv path at its default max-fidelity
+placement (PipelineConfig.int8_exclude keeps the VAE encoder and the
+decoder's 128-ch tail in bf16). That placement measures mean per-pixel
+deviation 9.9e-3 / p99 0.052 vs the exact-bf16 pipeline on-chip
+(scripts/profile_int8_vae.py), UNDER the repo's / BASELINE.json's <=1e-2
+fidelity bar, so it is the shipping default for throughput deployments.
+Exact bf16 measures 16.3 img/s and sits at 91% of its own composed roofline
+(~17.9 img/s at 10.5 TFLOP/img on a 230 bf16-TFLOP/s chip — see README
+"Performance"); going past it requires the int8 numerics, which is why the
+headline benches the quantized-but-in-fidelity-bar configuration.
+Calibration (one full-precision stats pass + per-channel clip search + bias
+correction, all one program) happens once before timing, exactly as a
+deployment would via GenPerceptPipeline / cli.run --int8_calibration.
 """
 
+import functools
 import json
 import time
 
@@ -29,6 +42,8 @@ def main():
 
     from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
     from genpercept_tpu.utils.batchsize import find_batch_size
+    from genpercept_tpu.ops.quant import (
+        apply_bias_correction, quantize_from_stats)
     from __graft_entry__ import _flagship_models
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -36,11 +51,17 @@ def main():
     if os.environ.get("BENCH_BATCH"):  # experimentation override
         batch = int(os.environ["BENCH_BATCH"])
     res = RES if on_tpu else 128  # CPU fallback keeps the script runnable
+    # BENCH_BF16=1 forces the exact-bf16 pipeline; BENCH_INT8=1 forces the
+    # int8 path even off-TPU (tiny-shape CI coverage of the quantize flow).
+    use_int8 = bool(os.environ.get("BENCH_INT8")) or (
+        on_tpu and not os.environ.get("BENCH_BF16"))
 
     models = _flagship_models(jnp.bfloat16)
-    cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16)
-    single_infer = build_single_infer(models, cfg)
-    params = models.params()
+    cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16,
+                         int8_vae=use_int8, int8_unet=use_int8)
+    single_infer = build_single_infer(models, cfg, "quant" if use_int8 else None)
+    calibrate = (jax.jit(build_single_infer(models, cfg, "calibrate"))
+                 if use_int8 else None)
 
     n_hi, n_lo = (8, 2) if on_tpu else (2, 1)
 
@@ -52,8 +73,6 @@ def main():
     # and the measurement is ~5x too fast; (c) the reported time is the
     # MARGINAL cost per iteration between two loop lengths, which cancels
     # the one-off dispatch/warmup overhead.
-    import functools
-
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_n(params, rgb, n):
         def body(i, carry):
@@ -64,11 +83,36 @@ def main():
             return (acc + s, x)
         return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), rgb))[0]
 
+    def quantize(params, rgb):
+        """One-time calibration, mirroring GenPerceptPipeline._run: fp stats
+        pass, per-channel quantization with the default int8_exclude
+        placement, bias correction folded into the quantized biases."""
+        _, stats = calibrate(params, rgb)
+
+        def keep(s):
+            return {k: v for k, v in s.items()
+                    if not any(e in k for e in cfg.int8_exclude)}
+
+        vq = {
+            "enc": quantize_from_stats(models.vae, keep(stats["enc"]), 1.0),
+            "dec": quantize_from_stats(models.vae, keep(stats["dec"]), 1.0),
+            "unet": quantize_from_stats(models.unet, keep(stats["unet"]), 1.0,
+                                        asymmetric_downsample=False),
+        }
+        vq = {k: apply_bias_correction(v, stats["corr"][k])
+              for k, v in vq.items()}
+        params = dict(params)
+        params["vae_quant"] = jax.device_put(vq)
+        return params
+
     while True:
+        params = models.params()
         rgb = jax.random.uniform(
             jax.random.key(1), (batch, res, res, 3), jnp.float32
         )
         try:
+            if use_int8:
+                params = quantize(params, rgb)
             float(run_n(params, rgb, n_lo))  # compile + warmup + full sync
             break
         except Exception:  # OOM: halve the batch and retry
@@ -98,6 +142,11 @@ def main():
                 "res": res,
                 "p50_latency_ms": round(dt / batch * 1000, 2),
                 "platform": jax.devices()[0].platform,
+                "numerics": (
+                    "w8a8-int8 default placement (mean |dev| 9.9e-3 / "
+                    "p99 0.052 vs exact bf16; <=1e-2 bar)"
+                    if use_int8 else "bf16"
+                ),
             }
         )
     )

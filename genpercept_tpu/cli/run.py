@@ -49,11 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard device batches over ALL local chips (1-axis "
                         "jax.sharding.Mesh; requires --batch_size)")
     p.add_argument("--int8_vae", action="store_true",
-                   help="W8A8 int8 VAE convs (~17%% faster; per-pixel "
-                        "deviation vs bf16 above 1e-2 — see README)")
+                   help="W8A8 int8 VAE convs (with --int8_unet and the "
+                        "default placement: 18.2 vs 16.3 img/s at mean "
+                        "per-pixel deviation 9.9e-3 vs bf16, under the "
+                        "1e-2 bar — see README)")
     p.add_argument("--int8_unet", action="store_true",
                    help="with --int8_vae: additionally quantize the UNet's "
-                        "convs + transformer matmuls")
+                        "resnet/down/up convs (transformer matmuls only "
+                        "with int8_unet_dense, measured slower)")
     p.add_argument("--int8_no_refine", action="store_true",
                    help="disable the MSE-clip + bias-correction calibration "
                         "refinements (A/B against plain absmax scales)")
