@@ -134,6 +134,19 @@ def resolve_train_config(cfg, grad_accum_steps: int = 1, mode: str = None):
         raw_losses = [raw_losses]
     if cfg.get_path("loss.customized_loss", False):
         losses = tuple(loss_name_map.get(n, n) for n in raw_losses)
+        # reference `loss.with_latent_loss: true` (config/others/*.yaml):
+        # an additional latent-space MSE on the raw UNet prediction on top
+        # of the customized pixel losses (genpercept_trainer.py:137-143,
+        # 727-740 — always nn.MSELoss regardless of the pixel loss names)
+        if cfg.get_path("loss.with_latent_loss", False):
+            if cfg.get_path("model.customized_head"):
+                # reference raises too: no latent target exists on the
+                # DPT-head path (genpercept_trainer.py:747-748)
+                raise NotImplementedError(
+                    "with_latent_loss is incompatible with a customized "
+                    "(DPT) head — the head consumes UNet features, there "
+                    "is no latent prediction to supervise")
+            losses = ("latent_mse",) + losses
     else:
         # reference: without customized_loss the single name selects a
         # LATENT-space loss via util/loss.py get_loss (marigold recipes)
