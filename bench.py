@@ -11,10 +11,11 @@ What is measured: the production inference configuration — the full jitted
 pipeline (VAE encode -> SD2.1 UNet one-step -> VAE decode -> depth postproc)
 in bfloat16 with the W8A8 int8 conv path at its default max-fidelity
 placement (PipelineConfig.int8_exclude keeps the VAE encoder and the
-decoder's 128-ch tail in bf16). That placement measures mean per-pixel
-deviation 9.9e-3 / p99 0.052 vs the exact-bf16 pipeline on-chip
-(scripts/profile_int8_vae.py), UNDER the repo's / BASELINE.json's <=1e-2
-fidelity bar, so it is the shipping default for throughput deployments.
+decoder's 128-ch tail in bf16). That placement's per-pixel deviation vs the
+exact-bf16 pipeline is measured on-chip by scripts/profile_int8_vae.py and
+sits UNDER the repo's / BASELINE.json's <=1e-2 fidelity bar (see README
+"Performance" for the current numbers), so it is the shipping default for
+throughput deployments.
 Exact bf16 measures 16.3 img/s and sits at 91% of its own composed roofline
 (~17.9 img/s at 10.5 TFLOP/img on a 230 bf16-TFLOP/s chip — see README
 "Performance"); going past it requires the int8 numerics, which is why the
@@ -105,18 +106,29 @@ def main():
         params["vae_quant"] = jax.device_put(vq)
         return params
 
+    def is_oom(e: Exception) -> bool:
+        s = str(e)
+        return ("RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
+                or "hbm" in s.lower())
+
     while True:
         params = models.params()
-        rgb = jax.random.uniform(
-            jax.random.key(1), (batch, res, res, 3), jnp.float32
-        )
+        # natural-image-like calibration/timing inputs (gradients + edges,
+        # utils/synthetic.py) — matches the configuration the fidelity
+        # numbers are measured in (profile_int8_vae.py --natural); uniform
+        # noise would calibrate different activation scales than deployment
+        from genpercept_tpu.utils.synthetic import natural_like_images
+
+        rgb = natural_like_images(jax.random.key(1), batch, res)
         try:
             if use_int8:
                 params = quantize(params, rgb)
             float(run_n(params, rgb, n_lo))  # compile + warmup + full sync
             break
-        except Exception:  # OOM: halve the batch and retry
-            if batch == 1:
+        except Exception as e:  # OOM: halve the batch and retry
+            # only resource exhaustion is retryable — a calibration bug
+            # must surface immediately, not after N multi-minute recompiles
+            if batch == 1 or not is_oom(e):
                 raise
             batch = max(batch // 2, 1)
 
@@ -143,8 +155,10 @@ def main():
                 "p50_latency_ms": round(dt / batch * 1000, 2),
                 "platform": jax.devices()[0].platform,
                 "numerics": (
-                    "w8a8-int8 default placement (mean |dev| 9.9e-3 / "
-                    "p99 0.052 vs exact bf16; <=1e-2 bar)"
+                    # fidelity of this placement is measured separately
+                    # (scripts/profile_int8_vae.py), not by this run
+                    "w8a8-int8 default placement; fidelity per "
+                    "scripts/profile_int8_vae.py (<=1e-2 bar)"
                     if use_int8 else "bf16"
                 ),
             }

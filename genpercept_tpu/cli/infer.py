@@ -16,6 +16,11 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(description="GenPercept-TPU dataset inference")
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--base_ckpt_dir", default=None,
+                   help="SD2.1 base checkpoint supplying vae/text_encoder/"
+                        "tokenizer for unet-only checkpoints (default: "
+                        "$BASE_CKPT_DIR, reference accelerate_train.py env "
+                        "fallback)")
     p.add_argument("--dataset_config", required=True, help="dataset yaml")
     p.add_argument("--base_data_dir", default=os.environ.get("BASE_DATA_DIR", ""))
     p.add_argument("--output_dir", required=True)
@@ -66,7 +71,8 @@ def main(argv=None):
     dataset = get_dataset(dataset_cfg, args.base_data_dir, DatasetMode.RGB_ONLY)
 
     dtype = jnp.bfloat16 if args.half_precision else jnp.float32
-    models = load_genpercept_checkpoint(args.checkpoint, args.mode, dtype=dtype)
+    models = load_genpercept_checkpoint(args.checkpoint, args.mode, dtype=dtype,
+                                      base_ckpt_dir=args.base_ckpt_dir)
     if args.prompt:
         models.text_embed = models.encode_prompt(args.prompt)
     pipe = GenPerceptPipeline(

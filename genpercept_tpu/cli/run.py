@@ -24,6 +24,11 @@ EXTENSIONS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="GenPercept-TPU folder inference")
     p.add_argument("--checkpoint", required=True, help="checkpoint directory")
+    p.add_argument("--base_ckpt_dir", default=None,
+                   help="SD2.1 base checkpoint supplying vae/text_encoder/"
+                        "tokenizer for unet-only checkpoints (default: "
+                        "$BASE_CKPT_DIR, reference accelerate_train.py env "
+                        "fallback)")
     p.add_argument("--input_rgb_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--mode", default="depth",
@@ -90,7 +95,8 @@ def main(argv=None):
         args.denoise_steps, args.ensemble_size = 1, 1
 
     dtype = jnp.bfloat16 if args.half_precision else jnp.float32
-    models = load_genpercept_checkpoint(args.checkpoint, args.mode, dtype=dtype)
+    models = load_genpercept_checkpoint(args.checkpoint, args.mode, dtype=dtype,
+                                      base_ckpt_dir=args.base_ckpt_dir)
     cfg = PipelineConfig(
         mode=args.mode,
         arch=args.archs,
@@ -149,6 +155,10 @@ def main(argv=None):
             Image.fromarray(out.pred_colored).save(
                 osp.join(out_dir, base + "_colored.png")
             )
+        if out.uncertainty is not None:
+            # ensemble disagreement map (reference returns `uncertainty` from
+            # ensemble_depth, util/ensemble.py:124-140)
+            np.save(osp.join(out_dir, base + "_uncert.npy"), out.uncertainty)
         logging.info(f"saved {base} -> {out_dir}")
 
     if args.batch_size != 0 and args.archs == "genpercept":

@@ -39,6 +39,9 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="GenPercept-TPU inference server")
     p.add_argument("--checkpoint", required=True)
+    p.add_argument("--base_ckpt_dir", default=None,
+                   help="SD2.1 base checkpoint for unet-only "
+                        "checkpoints (default: $BASE_CKPT_DIR)")
     p.add_argument("--mode", default="depth",
                    choices=["depth", "normal", "matting", "dis", "seg",
                             "disparity", "disparity_dpt_head"])
@@ -48,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--half_precision", "--bf16", action="store_true")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard request batches over ALL local chips (1-axis "
+                        "jax.sharding.Mesh; the worker micro-batches queued "
+                        "requests into one device batch). This is the path "
+                        "that measures multi-chip serving throughput on "
+                        "real hardware — single-chip numbers in README "
+                        "scale estimates are otherwise projections.")
+    p.add_argument("--max_batch", type=int, default=16,
+                   help="with --data_parallel: max requests fused into one "
+                        "device batch")
     return p
 
 
@@ -63,23 +76,52 @@ class _Job:
 
 class InferenceWorker:
     """Single consumer thread owning the pipeline: serializes device work,
-    keeps request handling (decode/encode) on HTTP threads."""
+    keeps request handling (decode/encode) on HTTP threads.
 
-    def __init__(self, pipe):
+    max_batch > 1 turns on micro-batching: all requests queued at the
+    moment the worker frees up (capped at max_batch) fuse into ONE device
+    batch via GenPerceptPipeline.batch — with a mesh-backed pipeline the
+    batch shards over every local chip, so concurrent load approaches the
+    chips' aggregate throughput instead of single-request latency x N."""
+
+    def __init__(self, pipe, max_batch: int = 1):
         self.pipe = pipe
+        self.max_batch = max(1, max_batch)
         self.q: "queue.Queue[_Job]" = queue.Queue()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
+    def _drain(self) -> list:
+        jobs = [self.q.get()]
+        while len(jobs) < self.max_batch:
+            try:
+                jobs.append(self.q.get_nowait())
+            except queue.Empty:
+                break
+        return jobs
+
     def _run(self):
         while True:
-            job = self.q.get()
+            jobs = self._drain()
+            if len(jobs) == 1:
+                job = jobs[0]
+                try:
+                    job.result = self.pipe(job.image)
+                except Exception as e:  # noqa: BLE001 — surfaced per-request
+                    job.error = f"{type(e).__name__}: {e}"
+                finally:
+                    job.event.set()
+                continue
             try:
-                job.result = self.pipe(job.image)
-            except Exception as e:  # noqa: BLE001 — surfaced per-request
-                job.error = f"{type(e).__name__}: {e}"
+                outs = self.pipe.batch([j.image for j in jobs])
+                for j, out in zip(jobs, outs):
+                    j.result = out
+            except Exception as e:  # noqa: BLE001
+                for j in jobs:
+                    j.error = f"{type(e).__name__}: {e}"
             finally:
-                job.event.set()
+                for j in jobs:
+                    j.event.set()
 
     def infer(self, image: np.ndarray, timeout: float = 600.0):
         job = _Job(image)
@@ -194,14 +236,20 @@ def make_server(args, pipe=None) -> ThreadingHTTPServer:
 
         dtype = jnp.bfloat16 if args.half_precision else jnp.float32
         models = load_genpercept_checkpoint(args.checkpoint, args.mode,
-                                            dtype=dtype)
+                                            dtype=dtype,
+                                            base_ckpt_dir=args.base_ckpt_dir)
         cfg = PipelineConfig(
             mode=args.mode, arch=args.archs,
             processing_res=args.processing_res, dtype=dtype,
         )
-        pipe = GenPerceptPipeline(models, cfg)
+        mesh = None
+        if getattr(args, "data_parallel", False):
+            import numpy as _np
 
-    worker = InferenceWorker(pipe)
+            mesh = jax.sharding.Mesh(_np.array(jax.devices()), ("data",))
+        pipe = GenPerceptPipeline(models, cfg, mesh=mesh)
+
+    worker = InferenceWorker(pipe, max_batch=getattr(args, "max_batch", 1))
     platform = jax.devices()[0].platform
     handler = make_handler(worker, args.mode, platform)
     return ThreadingHTTPServer((args.host, args.port), handler)

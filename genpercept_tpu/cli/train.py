@@ -169,6 +169,7 @@ def resolve_train_config(cfg, grad_accum_steps: int = 1, mode: str = None):
         scheduler=sched_cfg,
         loss_names=losses,
         lr=lr,
+        decoder_lr=cfg.get_path("decoder_lr"),
         lr_total_iter_length=lr_cfg.get("total_iter_length",
                                         lr_cfg.get("total_iter", 25000)),
         lr_final_ratio=lr_cfg.get("final_ratio", 0.01),

@@ -100,48 +100,98 @@ def load_genpercept_checkpoint(
     mode: str = "depth",
     dtype=jnp.float32,
     unet_subdir: str = "unet",
+    base_ckpt_dir: Optional[str] = None,
 ):
     """Sniff a checkpoint directory and build GenPerceptModels.
 
     Mirrors run.py:283-357: presence of dpt_head/dpt_head_identity selects
     the custom-head path (and filters the UNet's conv_out weights); presence
     of vae_decoder/vae_post_quant_conv overrides those VAE subtrees.
+
+    Layouts accepted:
+      - full diffusers layout (unet/ vae/ [text_encoder/ dpt_head*/ ...]) —
+        the per-task hub repos (guangkaixu/genpercept-depth, ...);
+      - a UNET-ONLY dir (safetensors directly in ckpt_dir, the
+        guangkaixu/genpercept-models `unet_<task>_v2/` layout, reference
+        run.py:284-293) — the vae / text_encoder / unet config then come
+        from `base_ckpt_dir` (the SD2.1 base checkpoint; defaults to the
+        BASE_CKPT_DIR env var, like the reference's accelerate_train.py
+        env fallback), and dpt_head*/ subdirs are sniffed in the unet dir's
+        PARENT (where genpercept-models keeps them).
     """
     from genpercept_tpu.models.clip_text import SD21_CLIP_TEXT
     from genpercept_tpu.models.dpt_head import DPT_GENERAL, DPT_IDENTITY
     from genpercept_tpu.pipeline import GenPerceptModels
 
+    base_ckpt_dir = base_ckpt_dir or os.environ.get("BASE_CKPT_DIR")
+
+    # unet weights: <ckpt>/unet, or the ckpt dir itself (unet-only layout)
+    unet_dir = osp.join(ckpt_dir, unet_subdir)
+    unet_path = _find_safetensors(unet_dir)
+    unet_only = False
+    if unet_path is None:
+        unet_path = _find_safetensors(ckpt_dir)
+        if unet_path:
+            unet_dir, unet_only = ckpt_dir, True
+    if unet_path is None and base_ckpt_dir:
+        # trained-run layout that saved no unet (frozen-unet recipes):
+        # fall back to the base SD2.1 unet (reference run.py:330-334)
+        unet_dir = osp.join(base_ckpt_dir, "unet")
+        unet_path = _find_safetensors(unet_dir)
+    assert unet_path, (
+        f"no unet safetensors under {ckpt_dir}[/{unet_subdir}]"
+        + ("" if base_ckpt_dir else
+           " (for unet-only checkpoints, pass base_ckpt_dir= or set "
+           "BASE_CKPT_DIR to the SD2.1 base checkpoint)"))
+
+    # custom heads live next to the unet subdir; for the unet-only layout
+    # they sit in the parent dir (run.py:286-288 uses dirname(args.unet))
+    head_roots = [ckpt_dir] + ([osp.dirname(osp.abspath(ckpt_dir))]
+                               if unet_only else [])
     head_dir = None
     dpt_cfg = DPT_GENERAL
-    if osp.isdir(osp.join(ckpt_dir, "dpt_head_identity")):
-        head_dir = osp.join(ckpt_dir, "dpt_head_identity")
-        dpt_cfg = DPT_IDENTITY
-    elif osp.isdir(osp.join(ckpt_dir, "dpt_head")):
-        head_dir = osp.join(ckpt_dir, "dpt_head")
+    for root in head_roots:
+        if osp.isdir(osp.join(root, "dpt_head_identity")):
+            head_dir = osp.join(root, "dpt_head_identity")
+            dpt_cfg = DPT_IDENTITY
+            break
+        if osp.isdir(osp.join(root, "dpt_head")):
+            head_dir = osp.join(root, "dpt_head")
+            break
 
-    unet_path = _find_safetensors(osp.join(ckpt_dir, unet_subdir))
-    assert unet_path, f"no unet safetensors under {ckpt_dir}/{unet_subdir}"
     unet_state = load_safetensors(unet_path)
     drop = _UNET_HEAD_DROP if head_dir else ()
     unet = convert_torch_state_dict(unet_state, drop_keys=drop, dtype=dtype)
-    unet_cfg = _unet_config_from_json(
-        osp.join(ckpt_dir, unet_subdir), with_conv_out=not head_dir
-    )
+    cfg_dir = unet_dir
+    if not osp.isfile(osp.join(cfg_dir, "config.json")) and base_ckpt_dir:
+        cfg_dir = osp.join(base_ckpt_dir, "unet")
+    unet_cfg = _unet_config_from_json(cfg_dir, with_conv_out=not head_dir)
 
-    vae_path = _find_safetensors(osp.join(ckpt_dir, "vae"))
-    assert vae_path, f"no vae safetensors under {ckpt_dir}/vae"
+    vae_dir = osp.join(ckpt_dir, "vae")
+    vae_path = _find_safetensors(vae_dir)
+    if vae_path is None and base_ckpt_dir:
+        vae_dir = osp.join(base_ckpt_dir, "vae")
+        vae_path = _find_safetensors(vae_dir)
+    assert vae_path, (
+        f"no vae safetensors under {ckpt_dir}/vae"
+        + ("" if base_ckpt_dir else
+           " — unet-only checkpoints need the SD2.1 vae: pass "
+           "base_ckpt_dir= or set BASE_CKPT_DIR"))
     vae = convert_torch_state_dict(load_safetensors(vae_path), dtype=dtype)
-    vae_cfg = _vae_config_from_json(osp.join(ckpt_dir, "vae"))
+    vae_cfg = _vae_config_from_json(vae_dir)
 
-    # decoder-finetuned overrides (run.py:304-312)
-    dec_path = _find_safetensors(osp.join(ckpt_dir, "vae_decoder"))
-    if dec_path:
-        dec = convert_torch_state_dict(load_safetensors(dec_path), dtype=dtype)
-        vae["decoder"] = dec.get("decoder", dec)
-    pq_path = _find_safetensors(osp.join(ckpt_dir, "vae_post_quant_conv"))
-    if pq_path:
-        pq = convert_torch_state_dict(load_safetensors(pq_path), dtype=dtype)
-        vae["post_quant_conv"] = pq.get("post_quant_conv", pq)
+    # decoder-finetuned overrides (run.py:304-312); same roots as the heads
+    for root in head_roots:
+        dec_path = _find_safetensors(osp.join(root, "vae_decoder"))
+        if dec_path:
+            dec = convert_torch_state_dict(load_safetensors(dec_path), dtype=dtype)
+            vae["decoder"] = dec.get("decoder", dec)
+        pq_path = _find_safetensors(osp.join(root, "vae_post_quant_conv"))
+        if pq_path:
+            pq = convert_torch_state_dict(load_safetensors(pq_path), dtype=dtype)
+            vae["post_quant_conv"] = pq.get("post_quant_conv", pq)
+        if dec_path or pq_path:
+            break
 
     dpt_head = None
     if head_dir:
@@ -168,6 +218,8 @@ def load_genpercept_checkpoint(
     clip = None
     text_embed = None
     te_path = _find_safetensors(osp.join(ckpt_dir, "text_encoder"))
+    if te_path is None and base_ckpt_dir:
+        te_path = _find_safetensors(osp.join(base_ckpt_dir, "text_encoder"))
     if te_path:
         clip = convert_torch_state_dict(
             load_safetensors(te_path), strip_prefix="text_model.", dtype=dtype
@@ -190,7 +242,8 @@ def load_genpercept_checkpoint(
         text_embed=text_embed,
         dpt_head=dpt_head,
         dpt_cfg=dpt_cfg,
-        tokenizer=load_tokenizer(ckpt_dir),
+        tokenizer=(load_tokenizer(ckpt_dir)
+                   or (load_tokenizer(base_ckpt_dir) if base_ckpt_dir else None)),
     )
 
 

@@ -76,6 +76,7 @@ def init_resnet_block(key, cin: int, cout: int, temb_dim: int | None) -> Params:
 def resnet_block(
     p: Params, x: jax.Array, temb: jax.Array | None = None, eps: float = 1e-5,
     fused: bool = False, conv_fn=None, name: str = "",
+    native_norm: bool = False,
 ) -> jax.Array:
     """diffusers ResnetBlock2D: GN -> SiLU -> conv -> (+temb) -> GN -> SiLU
     -> conv -> +shortcut.
@@ -84,7 +85,8 @@ def resnet_block(
     the Pallas fused kernel (ops/fused_conv.py) — inference path only.
     conv_fn (see ops/quant.py) overrides how conv1/conv2 are applied
     (int8-quantized execution or calibration); `name` prefixes the conv
-    paths it sees."""
+    paths it sees. native_norm does the GroupNorm apply in x's dtype
+    (training remat path; see ops/norms.py::group_norm)."""
     if fused and temb is None and conv_fn is None:
         from genpercept_tpu.ops import fused_conv as FC
 
@@ -104,13 +106,15 @@ def resnet_block(
                 residual=skip, eps=eps,
             )
     cf = (lambda _n, cp, xx: conv(cp, xx)) if conv_fn is None else conv_fn
-    h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], 32, eps)
+    h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], 32, eps,
+                   native_apply=native_norm)
     h = jax.nn.silu(h)
     h = cf(name + ".conv1", p["conv1"], h)
     if temb is not None and "time_emb_proj" in p:
         t = dense(p["time_emb_proj"], jax.nn.silu(temb))
         h = h + t[:, None, None, :].astype(h.dtype)
-    h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], 32, eps)
+    h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], 32, eps,
+                   native_apply=native_norm)
     h = jax.nn.silu(h)
     h = cf(name + ".conv2", p["conv2"], h)
     if "conv_shortcut" in p:
@@ -184,17 +188,32 @@ def init_vae_attention(key, c: int) -> Params:
     }
 
 
-def vae_attention(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """Single-head full self-attention over spatial tokens (VAE mid block)."""
+def vae_attention(p: Params, x: jax.Array, eps: float = 1e-6,
+                  int8: bool = False, dense_fn=None,
+                  name: str = "") -> jax.Array:
+    """Single-head full self-attention over spatial tokens (VAE mid block).
+
+    int8=True runs QK^T and PV through the s8 flash kernel
+    (ops/flash_attention.py::flash_attention_int8) — inference-only; the
+    d=512 matmuls dominate this kernel so the 2x s8 MXU rate pays here
+    (unlike the UNet's VPU-bound d=64 attention). dense_fn additionally
+    hooks the four 512x512 projections for int8/calibration (ops/quant.py),
+    same contract as the UNet transformer hooks."""
     n, h, w, c = x.shape
     res = x
     y = group_norm(x, p["group_norm"]["weight"], p["group_norm"]["bias"], 32, eps)
     y = y.reshape(n, h * w, c)
-    q = dense(p["to_q"], y)[:, :, None, :]
-    k = dense(p["to_k"], y)[:, :, None, :]
-    v = dense(p["to_v"], y)[:, :, None, :]
-    o = dot_product_attention(q, k, v)[:, :, 0, :]
-    o = dense(p["to_out"]["0"], o)
+    df = (lambda _n, pp, xx: dense(pp, xx)) if dense_fn is None else dense_fn
+    q = df(name + ".to_q", p["to_q"], y)[:, :, None, :]
+    k = df(name + ".to_k", p["to_k"], y)[:, :, None, :]
+    v = df(name + ".to_v", p["to_v"], y)[:, :, None, :]
+    if int8:
+        from genpercept_tpu.ops.flash_attention import flash_attention_int8
+
+        o = flash_attention_int8(q, k, v)[:, :, 0, :]
+    else:
+        o = dot_product_attention(q, k, v)[:, :, 0, :]
+    o = df(name + ".to_out.0", p["to_out"]["0"], o)
     return res + o.reshape(n, h, w, c)
 
 

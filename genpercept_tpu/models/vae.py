@@ -124,13 +124,16 @@ def _init_decoder(key, cfg: VAEConfig) -> Params:
 # ------------------------------------------------------------------ apply
 
 def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
-                      fused: bool = False, conv_fn=None) -> jax.Array:
+                      fused: bool = False, conv_fn=None,
+                      attn_int8: bool = False, dense_fn=None) -> jax.Array:
     """x: (N, H, W, 3) in [-1, 1] -> moments (N, H/8, W/8, 8).
 
     fused=True uses the Pallas fused GN+SiLU+conv kernel in every resblock
     (inference path; see ops/fused_conv.py). conv_fn (ops/quant.py) hooks
     every resnet/downsampler conv for int8 execution or calibration;
-    conv_in/conv_out/attention/shortcuts stay full-precision."""
+    conv_in/conv_out/shortcuts stay full-precision. attn_int8 runs the
+    mid-block d=512 attention through the s8 flash kernel and dense_fn
+    hooks its four projections (inference-only)."""
     enc = p["encoder"]
     h = conv(enc["conv_in"], x)
     n_blocks = len(cfg.block_out_channels)
@@ -147,7 +150,8 @@ def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
     mid = enc["mid_block"]
     h = resnet_block(mid["resnets"]["0"], h, None, eps=1e-6, fused=fused,
                      conv_fn=conv_fn, name="encoder.mid_block.resnets.0")
-    h = vae_attention(mid["attentions"]["0"], h)
+    h = vae_attention(mid["attentions"]["0"], h, int8=attn_int8,
+                      dense_fn=dense_fn, name="encoder.mid_block.attentions.0")
     h = resnet_block(mid["resnets"]["1"], h, None, eps=1e-6, fused=fused,
                      conv_fn=conv_fn, name="encoder.mid_block.resnets.1")
     h = _gn_silu_conv(h, enc["conv_norm_out"], enc["conv_out"],
@@ -157,7 +161,7 @@ def vae_encoder_apply(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
     return conv1x1(h, p["quant_conv"]["weight"][0, 0], p["quant_conv"].get("bias"))
 
 
-def _gn_silu_conv(h, norm_p, conv_p, groups, fused):
+def _gn_silu_conv(h, norm_p, conv_p, groups, fused, native_norm=False):
     """Final GN -> SiLU -> conv3x3, fused into one Pallas kernel when
     possible (same shapes guard as resnet_block)."""
     from genpercept_tpu.ops import fused_conv as FC
@@ -168,23 +172,27 @@ def _gn_silu_conv(h, norm_p, conv_p, groups, fused):
             h, norm_p["weight"], norm_p["bias"],
             conv_p["weight"], conv_p.get("bias"),
         )
-    h = group_norm(h, norm_p["weight"], norm_p["bias"], groups, 1e-6)
+    h = group_norm(h, norm_p["weight"], norm_p["bias"], groups, 1e-6,
+                   native_apply=native_norm)
     h = jax.nn.silu(h)
     return conv(conv_p, h)
 
 
 def vae_encode(p: Params, x: jax.Array, cfg: VAEConfig = SD21_VAE,
-               fused: bool = False, conv_fn=None) -> jax.Array:
+               fused: bool = False, conv_fn=None,
+               attn_int8: bool = False, dense_fn=None) -> jax.Array:
     """Deterministic latent: mean channel of the posterior, scaled.
     Matches reference `encode_rgb` (genpercept_pipeline.py:488-505)."""
-    moments = vae_encoder_apply(p, x, cfg, fused=fused, conv_fn=conv_fn)
+    moments = vae_encoder_apply(p, x, cfg, fused=fused, conv_fn=conv_fn,
+                                attn_int8=attn_int8, dense_fn=dense_fn)
     mean = moments[..., : cfg.latent_channels]
     return mean * cfg.scaling_factor
 
 
 def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE,
                fused: bool = False, remat: bool = False,
-               conv_fn=None) -> jax.Array:
+               conv_fn=None, attn_int8: bool = False,
+               dense_fn=None) -> jax.Array:
     """z: (N, h, w, 4) scaled latent -> (N, 8h, 8w, 3).
     Matches reference `decode_pred` up to the task-specific channel mean.
 
@@ -203,16 +211,22 @@ def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE,
 
     def rb(pp, hh, name=""):
         # bind the (static, string) conv path before jax.checkpoint wraps the
-        # call — checkpoint traces every argument, and strings don't trace
+        # call — checkpoint traces every argument, and strings don't trace.
+        # Under remat (training-through-frozen-decoder) the GroupNorm apply
+        # runs in the compute dtype: the fp32 apply was measured to hold
+        # 2 x 1.14 GB fp32 full-res temps in the decoder backward at 768^2
+        # micro-batch 4 (the difference between fitting and OOM on 16 GB)
         f = functools.partial(resnet_block, temb=None, eps=1e-6, fused=fused,
-                              conv_fn=conv_fn, name=name)
+                              conv_fn=conv_fn, name=name, native_norm=remat)
         return ckpt(f)(pp, hh)
 
     def up(pp, hh, name=""):
         f = functools.partial(upsample2d, conv_fn=conv_fn, name=name)
         return ckpt(f)(pp, hh)
 
-    attn = ckpt(vae_attention)
+    attn = ckpt(functools.partial(
+        vae_attention, int8=attn_int8, dense_fn=dense_fn,
+        name="decoder.mid_block.attentions.0"))
 
     z = z / cfg.scaling_factor
     z = conv1x1(z, p["post_quant_conv"]["weight"][0, 0], p["post_quant_conv"].get("bias"))
@@ -232,4 +246,4 @@ def vae_decode(p: Params, z: jax.Array, cfg: VAEConfig = SD21_VAE,
             h = up(blk["upsamplers"]["0"], h,
                    name=f"decoder.up_blocks.{i}.upsamplers.0")
     return _gn_silu_conv(h, dec["conv_norm_out"], dec["conv_out"],
-                         cfg.norm_num_groups, fused)
+                         cfg.norm_num_groups, fused, native_norm=remat)

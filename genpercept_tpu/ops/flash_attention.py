@@ -174,6 +174,135 @@ def _flash_bhsd(qh: jax.Array, kh: jax.Array, vh: jax.Array, scale: float,
     )(qh, kh, vh)
 
 
+# ------------------------------------------------- int8 forward (d=512)
+
+def _flash_int8_kernel(q_ref, k_ref, v_ref, qs_ref, ks_ref, vs_ref,
+                       o_ref, m_ref, acc_ref, *, scale):
+    """Online-softmax step with s8 matmuls (inference-only; used for the
+    VAE mid-block d=512 single-head attention where the two 512-deep
+    matmuls dominate and the v5e MXU runs s8 x s8 -> s32 at ~2x bf16).
+
+    Operands arrive pre-quantized (see flash_attention_int8): q/k symmetric
+    per-ROW int8 with fp32 row scales qs/ks, v per-COLUMN int8 with scales
+    vs. Logits are rebuilt exactly as s32 * qs[i] * ks[j] (one FMA per
+    logit, same per-logit cost as the bf16 kernel's scale fold). The
+    softmax probabilities are quantized to int8 with the fixed scale 127
+    (p in [0,1]); the SAME quantized p feeds both the PV matmul and the row
+    sum, so the normalization stays self-consistent."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]          # (q_blk, d) int8
+    k = k_ref[0]          # (k_blk, d) int8
+    v = v_ref[0]          # (k_blk, d) int8
+    qs = qs_ref[0]        # (q_blk, 1) f32
+    ks = ks_ref[0][:, 0]  # (k_blk,) f32
+    c = scale * _LOG2E
+
+    s32 = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    s = s32.astype(jnp.float32) * (qs * ks[None, :])  # (q_blk, k_blk) logits
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp2(s * c - m_new * c)
+    pq = jnp.round(p * 127.0).astype(jnp.int8)  # p in [0,1] -> scale 1/127
+    alpha = jnp.exp2((m_prev - m_new) * c)
+    m_ref[:] = m_new
+    pv = jax.lax.dot_general(
+        pq, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)  # missing vs[j]/127^2; applied at finish (vs is
+    # constant across k blocks, so it commutes with the accumulation)
+    acc_ref[:, :-1] = acc_ref[:, :-1] * alpha + pv
+    acc_ref[:, -1:] = acc_ref[:, -1:] * alpha + jnp.sum(
+        pq.astype(jnp.float32), axis=-1, keepdims=True)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        vs = vs_ref[0][0]  # (d,) f32 per-column v scales
+        l = acc_ref[:, -1:]  # sum of quantized p (scale 1/127 cancels)
+        o_ref[0] = (acc_ref[:, :-1] * vs[None, :] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_int8_bhsd(qh, kh, vh, scale: float):
+    """qh/kh/vh: (BH, S, D) float -> (BH, S, D) attention output with s8
+    QK^T and PV. Quantization of the operands happens here in XLA (fusing
+    into whatever produced them; the kernel then reads HALF the HBM bytes
+    of the bf16 version)."""
+    bh, sq, d = qh.shape
+    sk = kh.shape[1]
+
+    def rowq(x):
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        s = jnp.maximum(a, 1e-8) / 127.0
+        return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                        -127, 127).astype(jnp.int8), s
+
+    q8, qs = rowq(qh)
+    k8, ks = rowq(kh)
+    va = jnp.max(jnp.abs(vh.astype(jnp.float32)), axis=1, keepdims=True)
+    vsc = jnp.maximum(va, 1e-8) / 127.0  # (BH, 1, D)
+    v8 = jnp.clip(jnp.round(vh.astype(jnp.float32) / vsc),
+                  -127, 127).astype(jnp.int8)
+
+    q_blk, k_blk = _blocks(sq, sk, d)
+    grid = (bh, sq // q_blk, sk // k_blk)
+    out = pl.pallas_call(
+        functools.partial(_flash_int8_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, 1), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_blk, 1), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda b, qi, ki: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_blk, d), lambda b, qi, ki: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), qh.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((q_blk, 1), jnp.float32),
+            pltpu.VMEM((q_blk, d + 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q8, k8, v8, qs, ks, vsc)
+    return out
+
+
+def flash_attention_int8(q: jax.Array, k: jax.Array, v: jax.Array,
+                         scale: float | None = None) -> jax.Array:
+    """Inference-only int8 flash attention, (B, S, H, D) API like
+    flash_attention. Worth it ONLY where the matmuls dominate the kernel —
+    the d=512 VAE mid-block (512-deep MXU contractions); at the UNet's
+    d=64 the kernel is VPU-bound on per-logit softmax work and the extra
+    quantize/round per logit would make it slower, so the bf16 kernel
+    stays the UNet path."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    out = _flash_int8_bhsd(
+        _to_bhsd(q, b, sq, h, d), _to_bhsd(k, b, sk, h, d),
+        _to_bhsd(v, b, sk, h, d), scale,
+    )
+    return _from_bhsd(out, b, sq, h, d)
+
+
 # ------------------------------------------------------------- backward
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,

@@ -17,6 +17,7 @@ def group_norm(
     bias: jax.Array,
     num_groups: int = 32,
     eps: float = 1e-5,
+    native_apply: bool = False,
 ) -> jax.Array:
     """x: (..., H, W, C) NHWC. scale/bias: (C,). Stats in fp32.
 
@@ -24,7 +25,15 @@ def group_norm(
     sums into groups (a (C,) -> (G,) segment reduction), and normalization
     happens in the native NHWC layout with per-channel broadcast factors —
     no reshape to (..., G, C/G), whose 4-wide lane dimension thrashes the
-    (8, 128) vector layout."""
+    (8, 128) vector layout.
+
+    native_apply: do the y = x*a + b elementwise apply in x's dtype instead
+    of fp32 (stats stay fp32). Used by the TRAINING decode path under
+    rematerialization: the fp32 apply makes XLA hold full-resolution fp32
+    temps in the decoder backward (2 x 1.14 GB at 768^2 micro-batch 4,
+    measured — see scripts/bench_train.py), which is what blocks micro-batch
+    4 from fitting the 16 GB chip. Inference keeps the fp32 apply (exact
+    parity with the oracle-tested numerics)."""
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
@@ -51,6 +60,9 @@ def group_norm(
     a = inv_c * scale.astype(jnp.float32)[None]
     b = bias.astype(jnp.float32)[None] - mean_c * a
     bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    if native_apply and orig_dtype != jnp.float32:
+        return x * a.reshape(bshape).astype(orig_dtype) \
+            + b.reshape(bshape).astype(orig_dtype)
     out = xf * a.reshape(bshape) + b.reshape(bshape)
     return out.astype(orig_dtype)
 

@@ -105,6 +105,28 @@ def merge_stats(a: Dict[str, jax.Array], b: Dict[str, jax.Array]) -> Dict[str, j
     return {k: jnp.maximum(a[k], b[k]) for k in a}
 
 
+def _mse_optimal_clip_cols(wf: jax.Array) -> jax.Array:
+    """Per-COLUMN (output-channel) clip minimizing int8 quantization MSE for
+    a 2-D matrix wf (rows = flattened taps*input-channels, cols = Co).
+
+    Used on the activation-folded weight wf = w * a[ci]/127: its rows are
+    already scaled by the calibrated activation ranges, so plain weight MSE
+    here is an activation-weighted proxy of the layer's output error. On
+    uniform-init weights this reduces to ~absmax (no tails to clip); on real
+    SD2.1 weights per-channel outliers make the clipped scale materially
+    finer for the bulk."""
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    a0 = jnp.maximum(amax, 1e-12)
+    errs = []
+    for frac in CLIP_CANDIDATES:
+        s = a0 * frac / 127.0
+        wq = jnp.clip(jnp.round(wf / s), -127.0, 127.0) * s
+        errs.append(jnp.mean(jnp.square(wq - wf), axis=0))
+    best = jnp.argmin(jnp.stack(errs), axis=0)
+    fracs = jnp.asarray(CLIP_CANDIDATES, jnp.float32)
+    return a0 * fracs[best]
+
+
 def _norm_geometry(stride, padding) -> Tuple[Tuple[int, int], tuple]:
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -132,17 +154,26 @@ def quantize_conv(
     stride=1,
     padding=1,
     margin: float = 1.1,
+    weight_clip: bool = False,
 ) -> QConv:
     """Build a QConv from bf16/f32 conv params + calibrated input absmax.
 
     margin headroom guards against activations slightly exceeding the
-    calibration batch's range at runtime (excess is clipped to +-127)."""
+    calibration batch's range at runtime (excess is clipped to +-127).
+    weight_clip runs the per-output-channel MSE-optimal clip search on the
+    activation-folded weight instead of plain absmax (outlier-aware PTQ for
+    trained weights; exact no-op on tail-free uniform init)."""
     w = conv_p["weight"].astype(jnp.float32)
     if kind == "up4x4":
         w = _collapse_up_kernel(w)
     a = jnp.maximum(a_absmax.astype(jnp.float32) * margin, 1e-8)
     wf = w * (a / 127.0)[None, None, :, None]
-    o_scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0, 1e-12)
+    if weight_clip:
+        clip = _mse_optimal_clip_cols(wf.reshape(-1, wf.shape[-1]))
+        o_scale = jnp.maximum(clip / 127.0, 1e-12)
+    else:
+        o_scale = jnp.maximum(
+            jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0, 1e-12)
     wq = jnp.clip(jnp.round(wf / o_scale), -127, 127).astype(jnp.int8)
     stride, padding = _norm_geometry(stride, padding)
     bias = conv_p.get("bias")
@@ -198,7 +229,7 @@ class QDense:
 
 def quantize_dense(
     p: Dict[str, jax.Array], a_absmax: jax.Array, *, margin: float = 1.1,
-    cols: slice | None = None,
+    cols: slice | None = None, weight_clip: bool = False,
 ) -> QDense:
     """Build a QDense from (in, out) linear params + calibrated input absmax.
     cols selects a column slice of the weight/bias (used to quantize the two
@@ -211,7 +242,10 @@ def quantize_dense(
         bias = None if bias is None else bias[cols]
     a = jnp.maximum(a_absmax.astype(jnp.float32) * margin, 1e-8)
     wf = w * (a / 127.0)[:, None]
-    o_scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
+    if weight_clip:
+        o_scale = jnp.maximum(_mse_optimal_clip_cols(wf) / 127.0, 1e-12)
+    else:
+        o_scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
     wq = jnp.clip(jnp.round(wf / o_scale), -127, 127).astype(jnp.int8)
     bias = None if bias is None else bias.astype(jnp.float32)
     return QDense(wq, (127.0 / a), o_scale, bias)
@@ -241,7 +275,8 @@ def qdense_apply(q: QDense, x: jax.Array) -> jax.Array:
 
 
 def make_calib_conv_fn(stats: Dict[str, jax.Array], corr: Dict | None = None,
-                       clip_search: bool = False, margin: float = 1.1):
+                       clip_search: bool = False, margin: float = 1.1,
+                       weight_clip: bool = False):
     """Records per-channel input scale into `stats` (traced values — the
     caller must return `stats` from the jitted function) and runs the
     ordinary full-precision conv.
@@ -265,7 +300,8 @@ def make_calib_conv_fn(stats: Dict[str, jax.Array], corr: Dict | None = None,
                        stride=stride, padding=padding)
         if corr is not None:
             q = quantize_conv(conv_p, a, kind=kind, stride=stride,
-                              padding=padding, margin=margin)
+                              padding=padding, margin=margin,
+                              weight_clip=weight_clip)
             corr[name] = jnp.mean(
                 (y - qconv_apply(q, x)).astype(jnp.float32),
                 axis=tuple(range(y.ndim - 1)))
@@ -292,7 +328,8 @@ def make_quant_conv_fn(qtree: Dict[str, QConv]):
 
 
 def make_calib_dense_fn(stats: Dict[str, jax.Array], corr: Dict | None = None,
-                        clip_search: bool = False, margin: float = 1.1):
+                        clip_search: bool = False, margin: float = 1.1,
+                        weight_clip: bool = False):
     """Dense analogue of make_calib_conv_fn (p arrives pre-column-sliced
     for the GEGLU :h/:g halves, so in-trace quantization needs no cols)."""
     from genpercept_tpu.ops.attention import attention_projection
@@ -302,7 +339,7 @@ def make_calib_dense_fn(stats: Dict[str, jax.Array], corr: Dict | None = None,
         stats[name] = a
         y = attention_projection(x, p["weight"], p.get("bias"))
         if corr is not None:
-            q = quantize_dense(p, a, margin=margin)
+            q = quantize_dense(p, a, margin=margin, weight_clip=weight_clip)
             corr[name] = jnp.mean(
                 (y - qdense_apply(q, x)).astype(jnp.float32),
                 axis=tuple(range(y.ndim - 1)))
@@ -398,7 +435,7 @@ def apply_bias_correction(qtree: Dict, corr: Dict) -> Dict:
 
 def quantize_from_stats(
     params: Dict, stats: Dict[str, jax.Array], margin: float = 1.1,
-    asymmetric_downsample: bool = True,
+    asymmetric_downsample: bool = True, weight_clip: bool = False,
 ) -> Dict[str, QConv]:
     """Build the {path: QConv | QDense} tree for every calibrated layer.
 
@@ -422,13 +459,74 @@ def quantize_from_stats(
             if tag:
                 inner = w.shape[1] // 2
                 cols = slice(0, inner) if tag == "h" else slice(inner, None)
-            qtree[path] = quantize_dense(node, amax, margin=margin, cols=cols)
+            qtree[path] = quantize_dense(node, amax, margin=margin, cols=cols,
+                                         weight_clip=weight_clip)
         elif "downsamplers" in path:
             pad = ((0, 1), (0, 1)) if asymmetric_downsample else 1
             qtree[path] = quantize_conv(
-                node, amax, stride=2, padding=pad, margin=margin)
+                node, amax, stride=2, padding=pad, margin=margin,
+                weight_clip=weight_clip)
         elif "upsamplers" in path:
-            qtree[path] = quantize_conv(node, amax, kind="up4x4", margin=margin)
+            qtree[path] = quantize_conv(node, amax, kind="up4x4",
+                                        margin=margin, weight_clip=weight_clip)
         else:
-            qtree[path] = quantize_conv(node, amax, margin=margin)
+            qtree[path] = quantize_conv(node, amax, margin=margin,
+                                        weight_clip=weight_clip)
     return qtree
+
+
+# ------------------------------------------------- error-attribution hooks
+
+def make_fakequant_conv_fn(qtree: Dict[str, QConv], side: str):
+    """Full-precision conv with ONE side of the quantization simulated —
+    isolates where the int8 error comes from (diagnostic only, never the
+    production path):
+
+      side="w": run the conv with the dequantized int8 weight (exact weight
+                the int8 path uses) on EXACT activations;
+      side="a": quantize-dequantize the activation per channel, run the
+                original full-precision weight.
+
+    With both applied (side="wa") the result equals qconv_apply up to
+    accumulation order. Layers absent from qtree run untouched."""
+    from genpercept_tpu.ops.conv import conv2d, nearest_up2_conv3x3
+
+    assert side in ("w", "a", "wa"), side
+
+    def conv_fn(name, conv_p, x, *, kind="3x3", stride=1, padding=1):
+        q = qtree.get(name)
+        if q is None:
+            if kind == "up4x4":
+                return nearest_up2_conv3x3(x, conv_p["weight"],
+                                           conv_p.get("bias"))
+            return conv2d(x, conv_p["weight"], conv_p.get("bias"),
+                          stride=stride, padding=padding)
+        if "a" in side:
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * q.inv_a),
+                          -127.0, 127.0)
+            x = (xq / q.inv_a).astype(x.dtype)
+        if "w" in side:
+            # effective original-space fp weight of the int8 path:
+            # wq * o_scale un-does the per-co scale, * inv_a (= 127/a)
+            # un-folds the activation scale from the input axis
+            # (wf = w * a/127 => w = wq * o_scale * 127/a)
+            w = (q.w_int8.astype(jnp.float32) * q.o_scale
+                 * q.inv_a[None, None, :, None]).astype(x.dtype)
+            bias = q.bias
+        else:
+            w = conv_p["weight"]
+            if kind == "up4x4":
+                w = _collapse_up_kernel(w.astype(jnp.float32)).astype(x.dtype)
+            bias = conv_p.get("bias")
+        if kind == "up4x4":
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1, 1), [(2, 2), (2, 2)],
+                lhs_dilation=(2, 2), dimension_numbers=_DIMS)
+            if bias is not None:
+                y = y + jnp.asarray(bias, x.dtype)
+            return y
+        return conv2d(x, w.astype(x.dtype),
+                      None if bias is None else jnp.asarray(bias, x.dtype),
+                      stride=q.stride, padding=q.padding)
+
+    return conv_fn

@@ -46,7 +46,9 @@ def _init_scale_shift(preds: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return s, t
 
 
-@functools.partial(jax.jit, static_argnames=("reduction", "iters", "scale_invariant", "shift_invariant"))
+@functools.partial(jax.jit, static_argnames=(
+    "reduction", "iters", "scale_invariant", "shift_invariant",
+    "return_uncertainty"))
 def ensemble_predictions(
     preds: jax.Array,
     reduction: str = "median",

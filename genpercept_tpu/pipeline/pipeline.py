@@ -98,6 +98,20 @@ class PipelineConfig:
     # quantized bias). Roughly halves the int8-vs-bf16 deviation at no
     # runtime cost; off only for A/B against the plain absmax scheme.
     int8_refine: bool = True
+    # Per-output-channel MSE clip search on the activation-folded WEIGHTS
+    # (ops/quant.py::_mse_optimal_clip_cols). Measured on the heavy-tail
+    # surrogate (scripts/profile_int8_vae.py --heavy_tails --weight_clip):
+    # at 8-bit weight granularity absmax is already MSE-optimal for
+    # t(4)-tailed channel-scaled weights (the clip search picks frac=1.0
+    # per column), so this defaults OFF; it exists for extreme-outlier
+    # checkpoints and for 4-bit experiments where clipping does pay.
+    int8_weight_clip: bool = False
+    # Quantize the VAE mid-block d=512 single-head attention: s8 QK^T/PV
+    # inside the flash kernel (ops/flash_attention.py::flash_attention_int8)
+    # + int8 to_q/k/v/out projections via the dense hooks. This is the one
+    # attention where the matmuls dominate (512-deep contractions); the
+    # UNet's d=64 attention is VPU-bound and stays bf16. Requires int8_vae.
+    int8_vae_attn: bool = False
     # Placement: layers whose path contains any of these substrings stay
     # full precision. The default is the measured max-fidelity placement
     # (v5e sweep, scripts/profile_int8_vae.py): the VAE *encoder* is the
@@ -186,6 +200,9 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
                     stats: fn -> (pred, {"enc": {...}, "dec": {...}}).
       "quant"     — expects params["vae_quant"] = {"enc": qtree, "dec": qtree}
                     and runs the calibrated convs in int8.
+      "fake:w" / "fake:a" — diagnostic: full-precision conv with only the
+                    weight / activation side of the quantization simulated
+                    (error attribution; same params["vae_quant"] contract).
     """
     task = cfg.task
     unet_cfg, vae_cfg, dpt_cfg = models.unet_cfg, models.vae_cfg, models.dpt_cfg
@@ -208,16 +225,24 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
         )
 
         u_conv = u_dense = None
+        enc_dense = dec_dense = None
+        vattn = False  # s8 flash attention only on the real quantized path
         if quant_mode == "calibrate":
             enc_stats, dec_stats, unet_stats = {}, {}, {}
             refine = cfg.int8_refine
             corr = {"enc": {}, "dec": {}, "unet": {}} if refine else None
             kw = dict(clip_search=refine,
-                      margin=1.0 if refine else cfg.int8_margin)
+                      margin=1.0 if refine else cfg.int8_margin,
+                      weight_clip=cfg.int8_weight_clip)
             enc_fn = make_calib_conv_fn(
                 enc_stats, corr=corr["enc"] if refine else None, **kw)
             dec_fn = make_calib_conv_fn(
                 dec_stats, corr=corr["dec"] if refine else None, **kw)
+            if cfg.int8_vae_attn:
+                enc_dense = make_calib_dense_fn(
+                    enc_stats, corr=corr["enc"] if refine else None, **kw)
+                dec_dense = make_calib_dense_fn(
+                    dec_stats, corr=corr["dec"] if refine else None, **kw)
             if cfg.int8_unet:
                 ucorr = corr["unet"] if refine else None
                 u_conv = make_calib_conv_fn(unet_stats, corr=ucorr, **kw)
@@ -226,10 +251,23 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
         elif quant_mode == "quant":
             enc_fn = make_quant_conv_fn(params["vae_quant"]["enc"])
             dec_fn = make_quant_conv_fn(params["vae_quant"]["dec"])
+            if cfg.int8_vae_attn:
+                vattn = True
+                enc_dense = make_quant_dense_fn(params["vae_quant"]["enc"])
+                dec_dense = make_quant_dense_fn(params["vae_quant"]["dec"])
             if cfg.int8_unet:
                 u_conv = make_quant_conv_fn(params["vae_quant"]["unet"])
                 if cfg.int8_unet_dense:
                     u_dense = make_quant_dense_fn(params["vae_quant"]["unet"])
+        elif quant_mode is not None and quant_mode.startswith("fake:"):
+            from genpercept_tpu.ops.quant import make_fakequant_conv_fn
+
+            side = quant_mode.split(":", 1)[1]
+            enc_fn = make_fakequant_conv_fn(params["vae_quant"]["enc"], side)
+            dec_fn = make_fakequant_conv_fn(params["vae_quant"]["dec"], side)
+            if cfg.int8_unet:
+                u_conv = make_fakequant_conv_fn(
+                    params["vae_quant"]["unet"], side)
         else:
             enc_fn = dec_fn = None
 
@@ -241,9 +279,14 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
                 return pred, out
             return pred
 
+        def attn_kept(path):
+            return not any(e in path for e in cfg.int8_exclude)
+
         rgb_norm = (rgb.astype(compute_dtype) * 2.0 - 1.0)
-        rgb_latent = vae_encode(params["vae"], rgb_norm, vae_cfg, fused=fused,
-                                conv_fn=enc_fn)
+        rgb_latent = vae_encode(
+            params["vae"], rgb_norm, vae_cfg, fused=fused, conv_fn=enc_fn,
+            attn_int8=vattn and attn_kept("encoder.mid_block.attentions.0"),
+            dense_fn=enc_dense)
         text = jnp.broadcast_to(
             params["text_embed"].astype(compute_dtype),
             (rgb.shape[0],) + params["text_embed"].shape[-2:],
@@ -294,8 +337,10 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
                 pred_latent = pred_latent.astype(compute_dtype)
             pred_latent = pred_x0.astype(compute_dtype)
 
-        decoded = vae_decode(params["vae"], pred_latent, vae_cfg, fused=fused,
-                             conv_fn=dec_fn)
+        decoded = vae_decode(
+            params["vae"], pred_latent, vae_cfg, fused=fused, conv_fn=dec_fn,
+            attn_int8=vattn and attn_kept("decoder.mid_block.attentions.0"),
+            dense_fn=dec_dense)
         if task.channel_mean:
             decoded = jnp.mean(decoded, axis=-1)
         pred = jnp.clip(decoded, -1.0, 1.0)
@@ -308,6 +353,11 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
 class GenPerceptOutput:
     pred_np: np.ndarray  # (H, W) or (H, W, 3) float in [0, 1]
     pred_colored: Optional[np.ndarray]  # (H, W, 3) uint8 or None
+    # per-pixel ensemble disagreement (median abs deviation of the aligned
+    # members, in merged-output units) — populated when ensemble_size > 1,
+    # like the reference's `uncertainty` (genpercept_pipeline.py:289-298,
+    # util/ensemble.py:124-140)
+    uncertainty: Optional[np.ndarray] = None
 
 
 class GenPerceptPipeline:
@@ -324,7 +374,11 @@ class GenPerceptPipeline:
         parameters are replicated once, each device batch is sharded over
         the mesh's first axis, and XLA runs the identical program per chip
         with no collectives in the hot path (the TPU answer to multi-GPU
-        serving; throughput scales linearly, ~130 img/s on a v5e-8)."""
+        serving). Multi-chip throughput is a PROJECTION from the measured
+        single-chip rate (no collectives + per-chip-identical programs =>
+        ~linear): this environment has one real chip; `cli.serve
+        --data_parallel` / `cli.run --data_parallel` are the paths that
+        measure it on real multi-chip hardware without code changes."""
         self.models = models
         self.cfg = cfg
         self.mesh = mesh
@@ -373,14 +427,17 @@ class GenPerceptPipeline:
                 return {k: v for k, v in s.items()
                         if not any(e in k for e in excl)}
 
+            wc = self.cfg.int8_weight_clip
             vq = {
-                "enc": quantize_from_stats(self.models.vae, keep(stats["enc"]), m),
-                "dec": quantize_from_stats(self.models.vae, keep(stats["dec"]), m),
+                "enc": quantize_from_stats(self.models.vae, keep(stats["enc"]),
+                                           m, weight_clip=wc),
+                "dec": quantize_from_stats(self.models.vae, keep(stats["dec"]),
+                                           m, weight_clip=wc),
             }
             if self.cfg.int8_unet:
                 vq["unet"] = quantize_from_stats(
                     self.models.unet, keep(stats["unet"]), m,
-                    asymmetric_downsample=False)
+                    asymmetric_downsample=False, weight_clip=wc)
             if self.cfg.int8_refine:
                 vq = {k: apply_bias_correction(v, stats["corr"][k])
                       for k, v in vq.items()}
@@ -436,6 +493,7 @@ class GenPerceptPipeline:
             lh, lw = lh // 2, lw // 2
 
         e = cfg.ensemble_size
+        uncertainty = None
         if e > 1:
             x = jnp.broadcast_to(x, (e, ph, pw, 3))
             if rng is None:
@@ -444,7 +502,9 @@ class GenPerceptPipeline:
             preds = self._run(x, noise)
             from genpercept_tpu.pipeline.ensemble import ensemble_predictions
 
-            pred = ensemble_predictions(preds)[None]
+            pred, uncertainty = ensemble_predictions(
+                preds, return_uncertainty=True)
+            pred = pred[None]
         else:
             noise = (
                 jax.random.normal(
@@ -460,6 +520,9 @@ class GenPerceptPipeline:
                 pred = resize(pred[..., None], (h, w), cfg.resample_method)[..., 0]
             else:
                 pred = resize(pred, (h, w), cfg.resample_method)
+            if uncertainty is not None:
+                uncertainty = resize(uncertainty[None, ..., None], (h, w),
+                                     cfg.resample_method)[0, ..., 0]
 
         pred = jnp.clip(pred, 0.0, 1.0)
 
@@ -471,7 +534,10 @@ class GenPerceptPipeline:
             colored = np.asarray((colored_dev * 255).astype(jnp.uint8))
 
         pred_np = np.asarray(pred[0])
-        return GenPerceptOutput(pred_np=pred_np, pred_colored=colored)
+        return GenPerceptOutput(
+            pred_np=pred_np, pred_colored=colored,
+            uncertainty=None if uncertainty is None else np.asarray(uncertainty),
+        )
 
     def batch(
         self,

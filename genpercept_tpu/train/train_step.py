@@ -66,6 +66,10 @@ class TrainConfig:
     fix_timesteps: Optional[int] = None
     num_train_timesteps: int = 1000
     lr: float = 3e-5
+    # separate LR for the decoder param groups (custom DPT head / trained
+    # VAE decoder), reference `decoder_lr` (genpercept_trainer.py:266-274);
+    # None = use `lr` for everything
+    decoder_lr: Optional[float] = None
     lr_total_iter_length: int = 25000
     lr_final_ratio: float = 0.01
     lr_warmup_steps: int = 100
@@ -357,8 +361,30 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     sched = iter_exponential_schedule(
         cfg.lr, cfg.lr_total_iter_length, cfg.lr_final_ratio, cfg.lr_warmup_steps
     )
-    return optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
+    adam = optax.adam(sched, b1=cfg.adam_b1, b2=cfg.adam_b2,
                       mu_dtype=cfg.adam_mu_dtype)
+    if cfg.decoder_lr is None or cfg.decoder_lr == cfg.lr:
+        return adam
+    # Per-group learning rate for the decoder parts — custom head and/or
+    # trained VAE decoder — like the reference's Adam param groups
+    # (genpercept_trainer.py:266-274, config `decoder_lr`). Adam's update is
+    # lr * m_hat/(sqrt(v_hat)+eps), so scaling the post-adam update by
+    # decoder_lr/lr on those subtrees is EXACTLY a second param group with
+    # decoder_lr under the shared IterExponential lambda.
+    ratio = cfg.decoder_lr / cfg.lr
+
+    def labels(tree):
+        return {k: jax.tree.map(
+            lambda _: "decoder" if k in ("dpt_head", "vae") else "main", v)
+            for k, v in tree.items()}
+
+    return optax.chain(
+        adam,
+        optax.multi_transform(
+            {"main": optax.identity(), "decoder": optax.scale(ratio)},
+            labels,
+        ),
+    )
 
 
 def init_train_state(params: Dict, cfg: TrainConfig, rng=None):

@@ -225,25 +225,38 @@ class Trainer:
     def _periodic_callbacks(self):
         if self.save_period and self.effective_iter % self.save_period == 0:
             self.save_checkpoint("latest")  # all processes (orbax collective)
+        do_val = self.val_period and self.effective_iter % self.val_period == 0
+        do_vis = self.vis_period and self.effective_iter % self.vis_period == 0
         if jax.process_count() > 1:
-            # validation/visualization fetch full predictions to one host —
-            # not addressable when params/batches shard across processes;
-            # run them offline via cli.infer/cli.eval on the checkpoints
-            if (self.val_period or self.vis_period) \
-                    and not getattr(self, "_warned_mh_val", False):
-                logger.warning(
-                    "multi-host run: in-loop validation/visualization are "
-                    "skipped (evaluate checkpoints offline with "
-                    "cli.infer + cli.eval)"
-                )
-                self._warned_mh_val = True
+            # Reference behavior: validate/visualize on the MAIN process
+            # regardless of world size (genpercept_trainer.py:1001-1063).
+            # Params may be sharded across hosts (TP) or replicated (DP);
+            # process_allgather materializes the full tree on every host,
+            # then process 0 runs the standard single-device pipeline (all
+            # arrays pinned to one local device, so no collectives — the
+            # other processes do not participate in its programs) and
+            # everyone syncs after.
+            if do_val or do_vis:
+                from jax.experimental import multihost_utils
+
+                params = multihost_utils.process_allgather(
+                    self.current_params())
+                if jax.process_index() == 0:
+                    dev = jax.local_devices()[0]
+                    if do_val:
+                        self.validate(params_override=params, device=dev)
+                    if do_vis:
+                        self.visualize(params_override=params, device=dev)
+                multihost_utils.sync_global_devices(
+                    f"genpercept_valvis_{self.effective_iter}")
             return
-        if self.val_period and self.effective_iter % self.val_period == 0:
+        if do_val:
             self.validate()
-        if self.vis_period and self.effective_iter % self.vis_period == 0:
+        if do_vis:
             self.visualize()
 
-    def visualize(self) -> None:
+    def visualize(self, params_override: Optional[Dict] = None,
+                  device=None) -> None:
         """Save colorized predictions on the vis split (reference
         genpercept_trainer.py:1065-1076)."""
         from PIL import Image
@@ -251,7 +264,10 @@ class Trainer:
         from genpercept_tpu.ops.colorize import colorize_depth
         from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
 
-        params = self.current_params()
+        params = (self.current_params() if params_override is None
+                  else params_override)
+        if device is not None:
+            params = jax.device_put(params, device)
         pipe_cfg = PipelineConfig(mode=self.cfg.mode)
         infer = jax.jit(build_single_infer(self.models, pipe_cfg))
         vis_dir = osp.join(self.out_dir, "visualization",
@@ -260,7 +276,9 @@ class Trainer:
         for name, loader in self.vis_loaders.items():
             for j, raw in enumerate(loader):
                 rgb01 = (np.asarray(raw["rgb_norm"]) + 1.0) / 2.0
-                pred = infer(params, jnp.asarray(rgb01, jnp.float32))
+                x = jnp.asarray(rgb01, jnp.float32)
+                pred = infer(params,
+                             x if device is None else jax.device_put(x, device))
                 if pred.ndim == 3:  # single-channel: colorize
                     img = np.asarray(
                         (colorize_depth(pred[0]) * 255).astype(jnp.uint8)
@@ -276,22 +294,34 @@ class Trainer:
     def current_params(self) -> Dict:
         return merge_vae(self.trainable, self.frozen)
 
-    def validate(self) -> Dict[str, Dict[str, float]]:
+    def validate(self, params_override: Optional[Dict] = None,
+                 device=None) -> Dict[str, Dict[str, float]]:
         """Run the real inference pipeline over each val split. Depth mode:
         least-squares-aligned depth metrics (reference :1078-1243); other
-        modes: masked L1 against the normalized GT."""
+        modes: masked L1 against the normalized GT.
+
+        params_override/device: multi-host path — a host-gathered param tree
+        evaluated on ONE pinned local device (see _periodic_callbacks)."""
         from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
 
         results = {}
-        params = self.current_params()
+        params = (self.current_params() if params_override is None
+                  else params_override)
+        if device is not None:
+            params = jax.device_put(params, device)
         pipe_cfg = PipelineConfig(mode=self.cfg.mode)
         infer = jax.jit(build_single_infer(self.models, pipe_cfg))
+
+        def put(x):
+            return x if device is None else jax.device_put(x, device)
+
         gt_key, mask_key = GT_KEYS[self.cfg.mode]
         for name, loader in self.val_loaders.items():
             tracker = MetricTracker()
             for raw in loader:
                 rgb01 = (np.asarray(raw["rgb_norm"]) + 1.0) / 2.0
-                pred = np.asarray(infer(params, jnp.asarray(rgb01, jnp.float32)))
+                pred = np.asarray(
+                    infer(params, put(jnp.asarray(rgb01, jnp.float32))))
                 if self.cfg.mode != "depth":
                     gt01 = (np.asarray(raw[gt_key]) + 1.0) / 2.0
                     mask = np.asarray(raw[mask_key]).astype(bool)

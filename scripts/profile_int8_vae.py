@@ -35,9 +35,28 @@ def main():
     ap.add_argument("--dense", action="store_true",
                     help="with --unet: quantize the transformer matmuls too "
                          "(int8_unet_dense; measured slower end-to-end)")
+    ap.add_argument("--vae_attn", action="store_true",
+                    help="s8 QK^T/PV flash kernel + int8 projections for "
+                         "the VAE mid-block d=512 attention")
     ap.add_argument("--no_refine", action="store_true",
                     help="plain absmax*margin calibration, no clip search "
                          "or bias correction (A/B baseline)")
+    ap.add_argument("--heavy_tails", action="store_true",
+                    help="re-draw weights with heavy-tailed statistics "
+                         "(Student-t entries, log-normal channel scales, "
+                         "GroupNorm outlier gains) — the offline surrogate "
+                         "for trained SD2.1 weights; see utils/synthetic.py")
+    ap.add_argument("--weight_clip", action="store_true",
+                    help="per-output-channel MSE clip search on the "
+                         "activation-folded weights (outlier-aware PTQ)")
+    ap.add_argument("--natural", action="store_true",
+                    help="natural-image-like calibration/eval inputs "
+                         "(gradients+edges) instead of uniform noise")
+    ap.add_argument("--attribution", action="store_true",
+                    help="also measure weight-only and activation-only "
+                         "fake-quant deviations (two extra compiles)")
+    ap.add_argument("--skip_throughput", action="store_true",
+                    help="fidelity only (skips the timing loop)")
     args = ap.parse_args()
     b = args.batch
     excludes = [e for e in args.exclude.split(",") if e]
@@ -48,17 +67,32 @@ def main():
     from genpercept_tpu.ops.quant import apply_bias_correction, quantize_from_stats
 
     models = _flagship_models(jnp.bfloat16)
+    if args.heavy_tails:
+        from genpercept_tpu.utils.synthetic import heavy_tail_params
+
+        models.unet = heavy_tail_params(models.unet, jax.random.key(7))
+        models.vae = heavy_tail_params(models.vae, jax.random.key(8))
     cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16,
                          int8_vae=True, int8_unet=args.unet,
-                         int8_unet_dense=args.dense, int8_refine=refine)
+                         int8_unet_dense=args.dense, int8_refine=refine,
+                         int8_weight_clip=args.weight_clip,
+                         int8_vae_attn=args.vae_attn)
     params = models.params()
 
     calib = jax.jit(build_single_infer(models, cfg, "calibrate"))
     infer_fp = jax.jit(build_single_infer(models, cfg, None))
     infer_q = jax.jit(build_single_infer(models, cfg, "quant"))
 
-    rgb_a = jax.random.uniform(jax.random.key(1), (b, 768, 768, 3), jnp.float32)
-    rgb_b = jax.random.uniform(jax.random.key(2), (b, 768, 768, 3), jnp.float32)
+    if args.natural:
+        from genpercept_tpu.utils.synthetic import natural_like_images
+
+        rgb_a = natural_like_images(jax.random.key(1), b, 768)
+        rgb_b = natural_like_images(jax.random.key(2), b, 768)
+    else:
+        rgb_a = jax.random.uniform(jax.random.key(1), (b, 768, 768, 3),
+                                   jnp.float32)
+        rgb_b = jax.random.uniform(jax.random.key(2), (b, 768, 768, 3),
+                                   jnp.float32)
 
     pred_a_fp, stats = calib(params, rgb_a)
     jax.block_until_ready(pred_a_fp)
@@ -68,13 +102,17 @@ def main():
 
     params = dict(params)
     m = 1.0 if refine else cfg.int8_margin
+    wc = args.weight_clip
     params["vae_quant"] = {
-        "enc": quantize_from_stats(models.vae, keep(stats["enc"]), m),
-        "dec": quantize_from_stats(models.vae, keep(stats["dec"]), m),
+        "enc": quantize_from_stats(models.vae, keep(stats["enc"]), m,
+                                   weight_clip=wc),
+        "dec": quantize_from_stats(models.vae, keep(stats["dec"]), m,
+                                   weight_clip=wc),
     }
     if args.unet:
         params["vae_quant"]["unet"] = quantize_from_stats(
-            models.unet, keep(stats["unet"]), m, asymmetric_downsample=False)
+            models.unet, keep(stats["unet"]), m, asymmetric_downsample=False,
+            weight_clip=wc)
     if refine:
         params["vae_quant"] = {
             k: apply_bias_correction(v, stats["corr"][k])
@@ -95,6 +133,20 @@ def main():
         "p99": round(float(np.percentile(err, 99)), 5),
         "p999": round(float(np.percentile(err, 99.9)), 5),
     }), flush=True)
+
+    if args.attribution:
+        for side in ("w", "a"):
+            infer_f = jax.jit(build_single_infer(models, cfg, f"fake:{side}"))
+            pred_f = np.asarray(infer_f(params, rgb_b))
+            e = np.abs(pred_f - pred_b_fp)
+            print(json.dumps({
+                "op": f"fidelity_fakequant_{side}_only",
+                "mean": round(float(e.mean()), 6),
+                "p99": round(float(np.percentile(e, 99)), 5),
+            }), flush=True)
+
+    if args.skip_throughput:
+        return
 
     single = build_single_infer(models, cfg, "quant")
 

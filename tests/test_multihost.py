@@ -91,3 +91,96 @@ def test_dataloader_shard_loads_only_local_slice():
         expect.extend(chunk[rank * per : (rank + 1) * per])
     assert sorted(touched) == sorted(expect)
     np.testing.assert_array_equal(batch["x"][:, 0], np.asarray(expect, np.float32))
+
+
+def test_multihost_inloop_validation_runs_on_process0(tmp_path, monkeypatch):
+    """VERDICT r2 #4: multi-host training must still validate in-loop
+    (reference validates on the main process regardless of world size,
+    genpercept_trainer.py:1001-1063). Simulate a 2-process world: the
+    trainer must gather params (process_allgather), run validate() on
+    process 0, and sync — producing val metrics mid-training instead of
+    the old skip-warning."""
+    import jax
+    import jax.numpy as jnp
+
+    from genpercept_tpu.data.sampler import collate
+    from genpercept_tpu.models import UNetConfig, VAEConfig, init_unet, init_vae
+    from genpercept_tpu.pipeline import GenPerceptModels
+    from genpercept_tpu.train import TrainConfig
+    from genpercept_tpu.train import trainer as trainer_mod
+    from genpercept_tpu.train.trainer import Trainer
+
+    unet_cfg = UNetConfig(block_out_channels=(32, 64, 128, 128),
+                          attention_heads=(1, 2, 4, 4),
+                          cross_attention_dim=48)
+    vae_cfg = VAEConfig(block_out_channels=(32, 32, 64, 64))
+    ks = jax.random.split(jax.random.key(0), 2)
+    models = GenPerceptModels(
+        unet=init_unet(ks[0], unet_cfg), vae=init_vae(ks[1], vae_cfg),
+        unet_cfg=unet_cfg, vae_cfg=vae_cfg,
+        text_embed=jnp.zeros((1, 77, 48)),
+    )
+
+    rng = np.random.default_rng(3)
+    mask = np.ones((48, 48), bool)
+
+    def sample():
+        return {
+            "rgb_norm": rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32),
+            "depth_raw_norm": rng.uniform(-1, 1, (48, 48)).astype(np.float32),
+            "depth_raw_linear": rng.uniform(0.1, 10, (48, 48)).astype(np.float32),
+            "valid_mask_raw": mask,
+        }
+
+    class Loader:
+        def __iter__(self):
+            for _ in range(2):
+                yield collate([sample(), sample()])
+
+        def __len__(self):
+            return 2
+
+    # fake a 2-process world: save/checkpoint rotation and the val path
+    # consult process_count/index; allgather/sync become local no-ops
+    calls = {"gather": 0, "sync": 0}
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    from jax.experimental import multihost_utils
+
+    def fake_allgather(tree):
+        calls["gather"] += 1
+        return jax.tree.map(np.asarray, jax.device_get(tree))
+
+    def fake_sync(tag):
+        calls["sync"] += 1
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    monkeypatch.setattr(multihost_utils, "sync_global_devices", fake_sync)
+
+    # orbax's own multihost barrier would require a real distributed
+    # runtime for the end-of-train checkpoint; checkpointing is not under
+    # test here
+    monkeypatch.setattr(Trainer, "save_checkpoint",
+                        lambda self, name="latest": None)
+
+    cfg = TrainConfig(loss_names=("latent_mse",), fix_timesteps=1)
+    trainer = Trainer(
+        cfg=cfg, models=models, train_loader=Loader(),
+        out_dir=str(tmp_path / "run"), max_iter=2, save_period=0,
+        val_period=2, val_loaders={"toy": Loader()},
+    )
+    results = {}
+    orig_validate = Trainer.validate
+
+    def spy_validate(self, params_override=None, device=None):
+        r = orig_validate(self, params_override=params_override, device=device)
+        results.update(r)
+        assert params_override is not None  # gathered tree, not live shards
+        assert device is not None
+        return r
+
+    monkeypatch.setattr(Trainer, "validate", spy_validate)
+    trainer.train()
+    assert calls["gather"] >= 1 and calls["sync"] >= 1
+    assert "toy" in results and np.isfinite(
+        list(results["toy"].values())).all()

@@ -383,3 +383,61 @@ def test_fused_geglu_ff_gradients_match_split_path():
         )
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_flash_attention_int8_matches_fp_within_quant_error():
+    """s8 flash attention (QK^T + PV int8, VAE mid-block path) vs the fp
+    reference, interpret mode. Error budget: per-row q/k int8 rounding +
+    the 1/127-step probability quantization + per-column v rounding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.ops.attention import dot_product_attention
+    from genpercept_tpu.ops.flash_attention import flash_attention_int8
+
+    rng = jax.random.key(11)
+    kq, kk, kv = jax.random.split(rng, 3)
+    b, s, d = 2, 256, 512
+    q = jax.random.normal(kq, (b, s, 1, d), jnp.float32) * 0.5
+    k = jax.random.normal(kk, (b, s, 1, d), jnp.float32) * 0.5
+    v = jax.random.normal(kv, (b, s, 1, d), jnp.float32)
+    ref = dot_product_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_int8(q, k, v)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() / scale < 0.05, err.max() / scale
+    assert err.mean() / scale < 0.01, err.mean() / scale
+
+
+def test_vae_attention_int8_and_dense_hooks():
+    """vae_attention with int8 flash + quantized projections stays close to
+    the fp path; the dense hooks see the four projection names."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.models.layers import init_vae_attention, vae_attention
+    from genpercept_tpu.ops.quant import (
+        make_calib_dense_fn, make_quant_dense_fn, quantize_from_stats)
+
+    c = 128
+    p = init_vae_attention(jax.random.key(0), c)
+    x = jax.random.normal(jax.random.key(1), (1, 16, 16, c), jnp.float32)
+    ref = vae_attention(p, x)
+
+    stats = {}
+    out_calib = vae_attention(p, x, dense_fn=make_calib_dense_fn(stats),
+                              name="encoder.mid_block.attentions.0")
+    np.testing.assert_allclose(np.asarray(out_calib), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert set(stats) == {
+        f"encoder.mid_block.attentions.0.{n}"
+        for n in ("to_q", "to_k", "to_v", "to_out.0")}
+
+    qtree = quantize_from_stats(
+        {"encoder": {"mid_block": {"attentions": {"0": p}}}}, stats, 1.0)
+    with pltpu.force_tpu_interpret_mode():
+        out = vae_attention(p, x, int8=True,
+                            dense_fn=make_quant_dense_fn(qtree),
+                            name="encoder.mid_block.attentions.0")
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.mean() / scale < 0.02, err.mean() / scale

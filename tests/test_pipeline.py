@@ -145,3 +145,29 @@ def test_ensemble_identity_for_identical_members():
     merged = np.asarray(ensemble_predictions(jnp.asarray(members)))
     expected = (base - base.min()) / (base.max() - base.min())
     np.testing.assert_allclose(merged, expected, atol=1e-4)
+
+
+def test_ensemble_uncertainty_threads_through_pipeline():
+    """VERDICT r2 #6: `uncertainty` must reach GenPerceptOutput when
+    ensembling (reference genpercept_pipeline.py:289-298 returns it from
+    ensemble_depth, util/ensemble.py:124-140)."""
+    models = tiny_models(unet_cfg=TINY_UNET8)
+    cfg = PipelineConfig(
+        mode="depth", arch="marigold", denoising_steps=2, ensemble_size=3,
+        processing_res=64,
+    )
+    pipe = GenPerceptPipeline(models, cfg)
+    img = (np.random.default_rng(7).uniform(size=(80, 64, 3)) * 255).astype(
+        np.uint8)
+    out = pipe(img, rng=jax.random.key(1))
+    assert out.uncertainty is not None
+    assert out.uncertainty.shape == (80, 64)  # resized back with the pred
+    u = out.uncertainty
+    assert np.isfinite(u).all() and (u >= 0).all()
+    # stochastic members must disagree somewhere
+    assert float(u.max()) > 0.0
+
+    # single-member path stays uncertainty-free
+    cfg1 = PipelineConfig(mode="depth", processing_res=64)
+    out1 = GenPerceptPipeline(tiny_models(), cfg1)(img)
+    assert out1.uncertainty is None

@@ -86,3 +86,47 @@ def test_serve_endpoints():
             assert "error" in json.loads(e.read())
     finally:
         server.shutdown()
+
+
+def test_serve_data_parallel_micro_batching():
+    """VERDICT r2 #8: the serve data-parallel path — a mesh-backed pipeline
+    + micro-batching worker — exercised on the virtual 8-device CPU mesh.
+    Concurrent requests fuse into one sharded device batch; every request
+    still gets its own correctly-shaped prediction."""
+    import concurrent.futures
+
+    import jax
+
+    models = tiny_models()
+    cfg = PipelineConfig(mode="depth", processing_res=64)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    pipe = GenPerceptPipeline(models, cfg, mesh=mesh)
+    args = build_parser().parse_args(
+        ["--checkpoint", "unused", "--mode", "depth", "--port", "0",
+         "--data_parallel", "--max_batch", "8"]
+    )
+    server = make_server(args, pipe=pipe)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        png, (h, w) = _png_bytes()
+
+        def post(_):
+            req = urllib.request.Request(
+                url + "/v1/infer?format=npy", data=png,
+                headers={"Content-Type": "image/png"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return np.load(io.BytesIO(r.read()))
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+            preds = list(ex.map(post, range(6)))
+        for pred in preds:
+            assert pred.shape == (h, w)
+            assert np.isfinite(pred).all()
+        # identical inputs must give identical outputs regardless of how
+        # the requests were grouped into device batches
+        for pred in preds[1:]:
+            np.testing.assert_allclose(pred, preds[0], atol=1e-5)
+    finally:
+        server.shutdown()
