@@ -26,7 +26,14 @@ def build_parser():
     p.add_argument("--resume_run", default=None, help="resume from checkpoint name")
     p.add_argument("--exit_after", type=int, default=-1, help="minutes; save+exit")
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--no_wandb", action="store_true", help="ignored (jsonl/tb logging)")
+    p.add_argument("--no_wandb", action="store_true",
+                   help="accepted for reference-CLI parity (wandb is "
+                        "already off by default, matching the reference's "
+                        "forced disable)")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror metrics to wandb (requires the wandb "
+                        "package; tensorboard scalars sync via "
+                        "sync_tensorboard)")
     p.add_argument("--data_parallel", type=int, default=-1,
                    help="mesh data axis (-1: all devices)")
     p.add_argument("--model_parallel", type=int, default=1)
@@ -272,6 +279,24 @@ def main(argv=None):
                 os.path.dirname(os.path.abspath(__file__)))
             with tarfile.open(snap, "w:gz") as tar:
                 tar.add(pkg_root, arcname="genpercept_tpu")
+        # wandb run (reference accelerate_train.py:194-204 + the wandb
+        # helpers in logging_util.py:68-93). Like the reference — which
+        # hard-forces no_wandb=True at accelerate_train.py:139-140 — this
+        # is off unless explicitly requested; JSONL+tensorboard are the
+        # primary metric stream either way, and init_wandb no-ops cleanly
+        # when the wandb package isn't installed.
+        from genpercept_tpu.utils.logging_util import (
+            init_wandb, load_wandb_job_id, save_wandb_job_id)
+
+        wandb_run = init_wandb(
+            args.wandb,
+            project="genpercept_tpu",
+            dir=args.output_dir,
+            id=load_wandb_job_id(args.output_dir) if args.resume_run else None,
+            resume="allow" if args.resume_run else None,
+        )
+        if wandb_run is not None and args.wandb:
+            save_wandb_job_id(wandb_run, args.output_dir)
 
     seed = args.seed if args.seed is not None else cfg.get("trainer", {}).get("init_seed", 0)
     seed_all(seed)

@@ -60,6 +60,58 @@ class MetricsLogger:
             self._tb.close()
 
 
+# -------------- wandb tools (logging_util.py:68-93) --------------
+#
+# The reference force-disables wandb in accelerate_train.py:139-140, but
+# ships these helpers for runs that re-enable it; same here. wandb is not a
+# dependency of this package — every helper degrades to a no-op (returning
+# None) when it isn't importable, so JSONL+tensorboard remain the default
+# observability path.
+
+
+def init_wandb(enable: bool, **kwargs):
+    """Start a wandb run (reference init_wandb: sync_tensorboard so the
+    MetricsLogger's TB scalars mirror into wandb). Returns the run object,
+    or None when disabled / wandb not installed."""
+    try:
+        import wandb
+    except ImportError:
+        if enable:
+            logging.warning("wandb requested but not installed; disabled")
+        return None
+    if enable:
+        return wandb.init(sync_tensorboard=True, **kwargs)
+    return wandb.init(mode="disabled")
+
+
+def save_wandb_job_id(run, out_dir: str) -> None:
+    """Persist the run id so --resume_run reattaches to the same wandb run
+    (reference save_wandb_job_id)."""
+    if run is None:
+        return
+    with open(os.path.join(out_dir, "WANDB_ID"), "w") as f:
+        f.write(run.id)
+
+
+def load_wandb_job_id(out_dir: str) -> Optional[str]:
+    """Read back the persisted run id (reference load_wandb_job_id);
+    None when no WANDB_ID file exists."""
+    path = os.path.join(out_dir, "WANDB_ID")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read().strip()
+
+
+def log_slurm_job_id(metrics: "MetricsLogger", step: int) -> None:
+    """Record the SLURM job id as a scalar (-1 outside SLURM), reference
+    log_slurm_job_id — lets a resumed run's metric stream show which job
+    produced which steps."""
+    jobid = int(os.getenv("SLURM_JOB_ID", -1))
+    metrics.log_scalar("job_id", jobid, step)
+    logging.debug("Slurm job_id: %s", jobid)
+
+
 def eval_dic_to_text(val_metrics: Dict[str, float], dataset_name: str,
                      sample_list_path: str, diff: Optional[str] = None) -> str:
     """Tabulated eval summary (logging_util.py:96-102)."""

@@ -103,3 +103,31 @@ def test_metrics_logger(tmp_path):
 
     text = eval_dic_to_text({"abs_rel": 0.05}, "nyu", "split.txt")
     assert "nyu" in text and "0.05" in text
+
+
+def test_wandb_helpers(tmp_path, monkeypatch):
+    """The wandb shims (logging_util.py:68-93 in the reference) degrade to
+    no-ops without the wandb package and round-trip WANDB_ID for resume."""
+    from genpercept_tpu.utils import logging_util as lu
+
+    # wandb is not installed in this image: init must return None, not raise
+    assert lu.init_wandb(True, project="x") is None
+    assert lu.init_wandb(False) is None
+
+    # WANDB_ID persistence round-trip (save is a no-op for a None run)
+    lu.save_wandb_job_id(None, str(tmp_path))
+    assert lu.load_wandb_job_id(str(tmp_path)) is None
+
+    class FakeRun:
+        id = "abc123"
+
+    lu.save_wandb_job_id(FakeRun(), str(tmp_path))
+    assert lu.load_wandb_job_id(str(tmp_path)) == "abc123"
+
+    # slurm job id goes through the metrics logger (-1 outside slurm)
+    monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+    ml = lu.MetricsLogger(str(tmp_path), enable_tensorboard=False)
+    lu.log_slurm_job_id(ml, step=3)
+    ml.close()
+    rec = json.loads((tmp_path / "metrics.jsonl").read_text().strip())
+    assert rec["job_id"] == -1 and rec["step"] == 3
