@@ -44,7 +44,7 @@ def main():
     from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
     from genpercept_tpu.utils.batchsize import find_batch_size
     from genpercept_tpu.ops.quant import (
-        apply_bias_correction, quantize_from_stats)
+        apply_bias_correction, calibrate_chunked, quantize_from_stats)
     from __graft_entry__ import _flagship_models
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -87,8 +87,10 @@ def main():
     def quantize(params, rgb):
         """One-time calibration, mirroring GenPerceptPipeline._run: fp stats
         pass, per-channel quantization with the default int8_exclude
-        placement, bias correction folded into the quantized biases."""
-        _, stats = calibrate(params, rgb)
+        placement, bias correction folded into the quantized biases (the
+        calibration program runs in batch-4 chunks — see calibrate_chunked;
+        only the TIMED program needs the full batch in HBM)."""
+        _, stats = calibrate_chunked(calibrate, params, rgb, chunk=4)
 
         def keep(s):
             return {k: v for k, v in s.items()

@@ -98,6 +98,29 @@ class PipelineConfig:
     # quantized bias). Roughly halves the int8-vs-bf16 deviation at no
     # runtime cost; off only for A/B against the plain absmax scheme.
     int8_refine: bool = True
+    # Asymmetric (zero-point) per-channel ACTIVATION quantization
+    # (ops/quant.py::mse_optimal_clip_asym). The quantized conv inputs sit
+    # after GroupNorm+SiLU whose output is bounded below (-0.278) but not
+    # above; symmetric quantization wastes the never-used half of the
+    # range, and the measured full-placement error is activation-side
+    # dominated (profile_int8_vae --attribution: a-only 1.98e-2 vs w-only
+    # 9.4e-3 of the 2.09e-2 total). Exact algebra: quantize the shifted
+    # input (x - zp), fold sum(zp*w_hat) into the bias, and pad the int8
+    # code tensor with the exact code of real 0 so the conv's padding
+    # decodes correctly (ops/quant.py::qconv_apply). Measured at the
+    # exclude-encoder placement (full decoder incl. 128ch tail + UNet
+    # convs int8): mean dev 8.4e-3 at 18.16 img/s — the symmetric scheme
+    # needs the decoder tail excluded to stay under the 1e-2 bar.
+    int8_asymmetric: bool = True
+    # GPTQ error-compensated weight rounding (Frantar et al. 2022;
+    # ops/quant.py::gptq_round) for the VAE convs: the calibration program
+    # additionally accumulates each conv input's code-domain Gram matrix
+    # (conv_input_hessian) and the weights round with sequential error
+    # compensation instead of round-to-nearest. Zero runtime cost (same
+    # int8 tensors); calibration-time only. Off by default pending the
+    # on-chip fidelity A/B; enable for trained checkpoints where weight
+    # rounding error is material (heavy-tailed channels).
+    int8_gptq: bool = False
     # Per-output-channel MSE clip search on the activation-folded WEIGHTS
     # (ops/quant.py::_mse_optimal_clip_cols). Measured on the heavy-tail
     # surrogate (scripts/profile_int8_vae.py --heavy_tails --weight_clip):
@@ -231,18 +254,26 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
             enc_stats, dec_stats, unet_stats = {}, {}, {}
             refine = cfg.int8_refine
             corr = {"enc": {}, "dec": {}, "unet": {}} if refine else None
+            # GPTQ Hessians for the VAE groups only — the UNet's
+            # 1280-channel convs would need 530 MB of Gram each
+            hess = {"enc": {}, "dec": {}} if cfg.int8_gptq else None
             kw = dict(clip_search=refine,
                       margin=1.0 if refine else cfg.int8_margin,
-                      weight_clip=cfg.int8_weight_clip)
+                      weight_clip=cfg.int8_weight_clip,
+                      asymmetric=cfg.int8_asymmetric)
             enc_fn = make_calib_conv_fn(
-                enc_stats, corr=corr["enc"] if refine else None, **kw)
+                enc_stats, corr=corr["enc"] if refine else None,
+                hess=hess["enc"] if hess else None, **kw)
             dec_fn = make_calib_conv_fn(
-                dec_stats, corr=corr["dec"] if refine else None, **kw)
+                dec_stats, corr=corr["dec"] if refine else None,
+                hess=hess["dec"] if hess else None, **kw)
             if cfg.int8_vae_attn:
                 enc_dense = make_calib_dense_fn(
-                    enc_stats, corr=corr["enc"] if refine else None, **kw)
+                    enc_stats, corr=corr["enc"] if refine else None,
+                    hess=hess["enc"] if hess else None, **kw)
                 dec_dense = make_calib_dense_fn(
-                    dec_stats, corr=corr["dec"] if refine else None, **kw)
+                    dec_stats, corr=corr["dec"] if refine else None,
+                    hess=hess["dec"] if hess else None, **kw)
             if cfg.int8_unet:
                 ucorr = corr["unet"] if refine else None
                 u_conv = make_calib_conv_fn(unet_stats, corr=ucorr, **kw)
@@ -276,6 +307,8 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
                 out = {"enc": enc_stats, "dec": dec_stats, "unet": unet_stats}
                 if corr is not None:
                     out["corr"] = corr
+                if hess is not None:
+                    out["hess"] = hess
                 return pred, out
             return pred
 
@@ -417,9 +450,16 @@ class GenPerceptPipeline:
                 noise = self._shard_batch(noise)
         if not self._calibrated:
             from genpercept_tpu.ops.quant import (
-                apply_bias_correction, quantize_from_stats)
+                apply_bias_correction, calibrate_chunked, quantize_from_stats)
 
-            pred, stats = self._calib_infer(self._params, x, noise)
+            # calibration holds ~2x the inference program's activations
+            # (stat temps + in-trace quantized convs) — run it in chunks
+            # of 4 images per data shard (2 with the GPTQ Grams resident)
+            # so the first batch fits HBM at the same batch size every
+            # later batch uses
+            chunk = (2 if self.cfg.int8_gptq else 4) * self.n_data_shards
+            pred, stats = calibrate_chunked(
+                self._calib_infer, self._params, x, noise, chunk=chunk)
             m = 1.0 if self.cfg.int8_refine else self.cfg.int8_margin
             excl = self.cfg.int8_exclude
 
@@ -428,11 +468,14 @@ class GenPerceptPipeline:
                         if not any(e in k for e in excl)}
 
             wc = self.cfg.int8_weight_clip
+            hess = stats.get("hess", {})
             vq = {
                 "enc": quantize_from_stats(self.models.vae, keep(stats["enc"]),
-                                           m, weight_clip=wc),
+                                           m, weight_clip=wc,
+                                           hess=hess.get("enc")),
                 "dec": quantize_from_stats(self.models.vae, keep(stats["dec"]),
-                                           m, weight_clip=wc),
+                                           m, weight_clip=wc,
+                                           hess=hess.get("dec")),
             }
             if self.cfg.int8_unet:
                 vq["unet"] = quantize_from_stats(

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--vae_attn", action="store_true",
                     help="s8 QK^T/PV flash kernel + int8 projections for "
                          "the VAE mid-block d=512 attention")
+    ap.add_argument("--symmetric", action="store_true",
+                    help="disable asymmetric (zero-point) activation "
+                         "quantization (A/B baseline; asymmetric is the "
+                         "default — post-SiLU inputs are skewed positive)")
     ap.add_argument("--no_refine", action="store_true",
                     help="plain absmax*margin calibration, no clip search "
                          "or bias correction (A/B baseline)")
@@ -49,6 +53,10 @@ def main():
     ap.add_argument("--weight_clip", action="store_true",
                     help="per-output-channel MSE clip search on the "
                          "activation-folded weights (outlier-aware PTQ)")
+    ap.add_argument("--gptq", action="store_true",
+                    help="GPTQ error-compensated weight rounding for the "
+                         "VAE convs (collects code-domain input Grams "
+                         "during calibration; calibrates at chunk 2)")
     ap.add_argument("--natural", action="store_true",
                     help="natural-image-like calibration/eval inputs "
                          "(gradients+edges) instead of uniform noise")
@@ -64,7 +72,8 @@ def main():
 
     from __graft_entry__ import _flagship_models
     from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
-    from genpercept_tpu.ops.quant import apply_bias_correction, quantize_from_stats
+    from genpercept_tpu.ops.quant import (
+        apply_bias_correction, calibrate_chunked, quantize_from_stats)
 
     models = _flagship_models(jnp.bfloat16)
     if args.heavy_tails:
@@ -76,6 +85,8 @@ def main():
                          int8_vae=True, int8_unet=args.unet,
                          int8_unet_dense=args.dense, int8_refine=refine,
                          int8_weight_clip=args.weight_clip,
+                         int8_asymmetric=not args.symmetric,
+                         int8_gptq=args.gptq,
                          int8_vae_attn=args.vae_attn)
     params = models.params()
 
@@ -94,7 +105,10 @@ def main():
         rgb_b = jax.random.uniform(jax.random.key(2), (b, 768, 768, 3),
                                    jnp.float32)
 
-    pred_a_fp, stats = calib(params, rgb_a)
+    # chunked: the batch-16 asym calibration program needs 25.4 GB HBM
+    # (chunk 2 with the GPTQ Grams resident, ~1.4 GB for the VAE)
+    pred_a_fp, stats = calibrate_chunked(calib, params, rgb_a,
+                                         chunk=2 if args.gptq else 4)
     jax.block_until_ready(pred_a_fp)
     def keep(s):
         return {k: v for k, v in s.items()
@@ -103,11 +117,12 @@ def main():
     params = dict(params)
     m = 1.0 if refine else cfg.int8_margin
     wc = args.weight_clip
+    hess = stats.get("hess", {})
     params["vae_quant"] = {
         "enc": quantize_from_stats(models.vae, keep(stats["enc"]), m,
-                                   weight_clip=wc),
+                                   weight_clip=wc, hess=hess.get("enc")),
         "dec": quantize_from_stats(models.vae, keep(stats["dec"]), m,
-                                   weight_clip=wc),
+                                   weight_clip=wc, hess=hess.get("dec")),
     }
     if args.unet:
         params["vae_quant"]["unet"] = quantize_from_stats(

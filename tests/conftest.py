@@ -20,3 +20,26 @@ import jax  # noqa: E402
 # setting the env var alone is not enough — update the live config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# --------------------------------------------------------------- quick/slow
+# The full suite takes ~25 min on a 1-core box (full-model torch oracles,
+# end-to-end CLI training runs). `-m quick` selects a fast per-subsystem
+# subset; `-m slow` the rest. Classification is by module: these modules'
+# tests build full-size models, run training loops, or shell out to CLIs.
+_SLOW_MODULES = {
+    "test_unet_oracle", "test_vae_oracle", "test_cli_end_to_end",
+    "test_pipeline", "test_models", "test_train", "test_train_extras",
+    "test_train_surgery", "test_block_remat", "test_lora_noise_metric3d",
+    "test_multihost", "test_serve", "test_bench", "test_harness",
+    "test_quant_surrogate", "test_parity_real", "test_batch_api",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(
+            pytest.mark.slow if mod in _SLOW_MODULES else pytest.mark.quick)

@@ -381,3 +381,396 @@ def test_default_int8_placement_excludes_encoder_and_decoder_tail():
     assert len(vq["dec"]) == 31 - 6  # up_blocks.3: 3 resnets x 2 convs
     assert not any("up_blocks.3." in k for k in vq["dec"])
     assert len(vq["unet"]) == 50
+
+
+# ---------------------------------------------------- asymmetric activations
+
+def _skewed(key, shape):
+    # post-GroupNorm+SiLU-like: bounded below at -0.278, long positive tail
+    return jax.nn.silu(jax.random.normal(key, shape, jnp.float32) * 2.0)
+
+
+def test_asymmetric_beats_symmetric_on_skewed_activations():
+    from genpercept_tpu.ops.quant import (
+        mse_optimal_clip, mse_optimal_clip_asym, qdense_apply, quantize_dense)
+
+    key = jax.random.key(10)
+    kx, kp, kd = jax.random.split(key, 3)
+    x = _skewed(kx, (2, 16, 16, 8))
+    p = _rand_conv(kp, 8, 12)
+    ref = conv2d(x, p["weight"], p["bias"])
+    e_sym = np.abs(np.asarray(
+        qconv_apply(quantize_conv(p, mse_optimal_clip(x), margin=1.0), x)
+        - ref)).mean()
+    e_asym = np.abs(np.asarray(
+        qconv_apply(quantize_conv(p, mse_optimal_clip_asym(x), margin=1.0), x)
+        - ref)).mean()
+    # SiLU outputs use ~half the symmetric range; the zero-point roughly
+    # halves the step and must cut the error by >=25%
+    assert e_asym < 0.75 * e_sym, (e_asym, e_sym)
+
+    xd = _skewed(kd, (64, 8))
+    pd = {"weight": jax.random.normal(kd, (8, 6), jnp.float32) * 0.3,
+          "bias": jnp.ones((6,), jnp.float32) * 0.05}
+    refd = xd @ pd["weight"] + pd["bias"]
+    ed_sym = np.abs(np.asarray(
+        qdense_apply(quantize_dense(pd, mse_optimal_clip(xd), margin=1.0), xd)
+        - refd)).mean()
+    ed_asym = np.abs(np.asarray(
+        qdense_apply(quantize_dense(pd, mse_optimal_clip_asym(xd),
+                                    margin=1.0), xd) - refd)).mean()
+    assert ed_asym < 0.85 * ed_sym, (ed_asym, ed_sym)
+
+
+def test_asymmetric_zero_input_and_padding_exact():
+    """The pad-then-quantize + quantized-weight offset algebra: an all-zero
+    input (every position behaves like conv padding) must reproduce the
+    float conv EXACTLY — the zero-point is snapped onto an integer code and
+    the folded constant uses the quantized weight, so nothing couples to
+    weight rounding error."""
+    from genpercept_tpu.ops.quant import mse_optimal_clip_asym
+
+    key = jax.random.key(11)
+    kx, kp = jax.random.split(key)
+    x = _skewed(kx, (2, 12, 12, 8))
+    p = _rand_conv(kp, 8, 12)
+    q = quantize_conv(p, mse_optimal_clip_asym(x), margin=1.0)
+    assert q.zp is not None
+    x0 = jnp.zeros_like(x)
+    out = np.asarray(qconv_apply(q, x0))
+    ref = np.asarray(conv2d(x0, p["weight"], p["bias"]))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # stride-2 downsampler geometry (encoder's asymmetric (0,1) padding)
+    q2 = quantize_conv(p, mse_optimal_clip_asym(x), stride=2,
+                       padding=((0, 1), (0, 1)), margin=1.0)
+    ref2 = conv2d(x, p["weight"], p["bias"], stride=2,
+                  padding=((0, 1), (0, 1)))
+    out2 = qconv_apply(q2, x)
+    assert out2.shape == ref2.shape
+    scale = np.abs(np.asarray(ref2)).max()
+    assert np.abs(np.asarray(out2 - ref2)).max() / scale < 0.03
+
+
+def test_asymmetric_up4x4_degrades_to_symmetric():
+    from genpercept_tpu.ops.quant import mse_optimal_clip_asym
+
+    key = jax.random.key(12)
+    kx, kp = jax.random.split(key)
+    x = _skewed(kx, (1, 8, 8, 8))
+    p = _rand_conv(kp, 8, 8)
+    q = quantize_conv(p, mse_optimal_clip_asym(x), kind="up4x4", margin=1.0)
+    # lhs-dilation zeros are algebraic, not real activations — no zero-point
+    assert q.zp is None
+    ref = nearest_up2_conv3x3(x, p["weight"], p["bias"])
+    out = qconv_apply(q, x)
+    assert out.shape == ref.shape
+    scale = np.abs(np.asarray(ref)).max()
+    assert np.abs(np.asarray(out - ref)).max() / scale < 0.05
+
+
+def test_asymmetric_fakequant_wa_matches_real_path():
+    from genpercept_tpu.ops.quant import (
+        make_fakequant_conv_fn, mse_optimal_clip_asym)
+
+    key = jax.random.key(13)
+    kx, kp = jax.random.split(key)
+    x = _skewed(kx, (1, 10, 10, 8))
+    p = _rand_conv(kp, 8, 12)
+    q = quantize_conv(p, mse_optimal_clip_asym(x), margin=1.0)
+    fk = make_fakequant_conv_fn({"c": q}, "wa")
+    real = np.asarray(qconv_apply(q, x))
+    fake = np.asarray(fk("c", p, x))
+    np.testing.assert_allclose(fake, real, atol=1e-4)
+
+
+def test_asymmetric_calibration_save_load_roundtrip(tmp_path):
+    from genpercept_tpu.ops.quant import (
+        load_calibration, make_calib_conv_fn, save_calibration)
+
+    key = jax.random.key(14)
+    kx, kp = jax.random.split(key)
+    x = _skewed(kx, (1, 8, 8, 8))
+    p = _rand_conv(kp, 8, 8)
+    stats = {}
+    calib = make_calib_conv_fn(stats, clip_search=True, asymmetric=True)
+    calib("layer", p, x)
+    assert stats["layer"].shape == (2, 8)
+    q = quantize_conv(p, stats["layer"], margin=1.0)
+    save_calibration(tmp_path / "c.npz", {"enc": {"layer": q}})
+    q2 = load_calibration(tmp_path / "c.npz")["enc"]["layer"]
+    assert q2.zp is not None
+    np.testing.assert_array_equal(np.asarray(q.w_int8), np.asarray(q2.w_int8))
+    np.testing.assert_allclose(np.asarray(q.zp), np.asarray(q2.zp))
+    np.testing.assert_allclose(
+        np.asarray(qconv_apply(q, x)), np.asarray(qconv_apply(q2, x)),
+        atol=1e-6)
+
+
+def test_merge_stats_asymmetric_ranges():
+    s1 = {"k": jnp.stack([jnp.asarray([1.0, 0.0]), jnp.asarray([2.0, 1.0])])}
+    s2 = {"k": jnp.stack([jnp.asarray([0.0, 1.0]), jnp.asarray([1.0, 3.0])])}
+    m = merge_stats(s1, s2)["k"]
+    np.testing.assert_allclose(np.asarray(m[0] - m[1]), [-1.0, -2.0])
+    np.testing.assert_allclose(np.asarray(m[0] + m[1]), [3.0, 4.0])
+
+
+def test_pipeline_asymmetric_int8_end_to_end_tighter_than_symmetric():
+    """Tiny-VAE pipeline-level A/B: the asymmetric default must not be worse
+    than symmetric end-to-end (it is strictly better on skewed layers)."""
+    from genpercept_tpu.ops.quant import make_quant_conv_fn
+
+    key = jax.random.key(15)
+    params = init_vae(key, TINY_VAE)
+    x = jax.random.uniform(jax.random.key(16), (1, 64, 64, 3), jnp.float32)
+
+    def run(asymmetric):
+        stats = {}
+        calib = make_calib_conv_fn(stats, clip_search=True,
+                                   asymmetric=asymmetric)
+        ref = vae_encode(params, x, TINY_VAE, conv_fn=calib)
+        qtree = quantize_from_stats(params, stats, margin=1.0)
+        out = vae_encode(params, x, TINY_VAE,
+                         conv_fn=make_quant_conv_fn(qtree))
+        return np.abs(np.asarray(out - ref)).mean()
+
+    e_sym, e_asym = run(False), run(True)
+    assert e_asym <= e_sym * 1.05, (e_asym, e_sym)
+
+
+# ----------------------------------------------------- chunked calibration
+
+def test_calibrate_chunked_matches_full_batch():
+    """Batch-chunked calibration (the OOM guard for the 768^2 asym program,
+    ops/quant.py::calibrate_chunked): absmax stats merge EXACTLY (max is
+    associative over batch splits), preds concatenate to the full batch, and
+    the refine path's averaged corr still quantizes within the usual bar."""
+    from genpercept_tpu.ops.quant import calibrate_chunked
+
+    vae = init_vae(jax.random.key(20), TINY_VAE)
+    z = jax.random.normal(jax.random.key(21), (4, 8, 8, 4), jnp.float32) * 0.3
+
+    @jax.jit
+    def calib(p, z):
+        stats = {}
+        y = vae_decode(p, z, TINY_VAE, conv_fn=make_calib_conv_fn(stats))
+        return y, stats
+
+    y_full, s_full = calib(vae, z)
+    y_ch, s_ch = calibrate_chunked(calib, vae, z, chunk=2)
+    # different-batch-shape programs fuse/accumulate differently — bitwise
+    # equality is not expected, only numerical equivalence
+    np.testing.assert_allclose(np.asarray(y_ch), np.asarray(y_full),
+                               atol=1e-4)
+    assert set(s_ch) == set(s_full)
+    for k in s_full:
+        np.testing.assert_allclose(np.asarray(s_ch[k]), np.asarray(s_full[k]),
+                                   rtol=1e-4)
+
+
+def test_calibrate_chunked_refine_asym_fidelity():
+    """Chunked refine (clip search + corr averaging + asymmetric stats) must
+    hold the same end-to-end fidelity class as single-program calibration."""
+    from genpercept_tpu.ops.quant import (
+        apply_bias_correction, calibrate_chunked, make_quant_conv_fn)
+
+    vae = init_vae(jax.random.key(22), TINY_VAE)
+    z = jax.random.normal(jax.random.key(23), (4, 8, 8, 4), jnp.float32) * 0.3
+
+    def make_calib():
+        @jax.jit
+        def calib(p, z):
+            stats, corr = {}, {}
+            fn = make_calib_conv_fn(stats, corr=corr, clip_search=True,
+                                    margin=1.0, asymmetric=True)
+            y = vae_decode(p, z, TINY_VAE, conv_fn=fn)
+            return y, {"dec": stats, "corr": {"dec": corr}}
+        return calib
+
+    def fidelity(stats):
+        q = apply_bias_correction(
+            quantize_from_stats(vae, stats["dec"], margin=1.0),
+            stats["corr"]["dec"])
+        ref = vae_decode(vae, z, TINY_VAE)
+        out = vae_decode(vae, z, TINY_VAE, conv_fn=make_quant_conv_fn(q))
+        return np.abs(np.asarray(out - ref)).mean()
+
+    _, s_full = make_calib()(vae, z)
+    _, s_ch = calibrate_chunked(make_calib(), vae, z, chunk=2)
+    e_full, e_ch = fidelity(s_full), fidelity(s_ch)
+    # corr averaging + range union are approximations — same error class
+    assert e_ch <= e_full * 1.5 + 1e-4, (e_ch, e_full)
+
+
+def test_calibrate_chunked_extra_args_and_ragged_tail():
+    from genpercept_tpu.ops.quant import calibrate_chunked
+
+    def calib(params, rgb, noise):
+        assert rgb.shape[0] == noise.shape[0]
+        return rgb + noise, {"g": {"k": jnp.max(jnp.abs(rgb), axis=0)}}
+
+    rgb = jax.random.normal(jax.random.key(24), (5, 3), jnp.float32)
+    noise = jax.random.normal(jax.random.key(25), (5, 3), jnp.float32)
+    pred, stats = calibrate_chunked(calib, None, rgb, noise, chunk=2)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(rgb + noise),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["g"]["k"]),
+                               np.asarray(jnp.max(jnp.abs(rgb), axis=0)),
+                               rtol=1e-6)
+    # None extras pass through
+    def calib2(params, rgb, noise=None):
+        assert noise is None
+        return rgb, {"g": {"k": jnp.max(jnp.abs(rgb), axis=0)}}
+
+    calibrate_chunked(calib2, None, rgb, None, chunk=3)
+
+
+# ------------------------------------------------------------------- GPTQ
+
+def test_gptq_identity_hessian_equals_rtn():
+    """With H proportional to I (uncorrelated inputs) the GPTQ recursion's
+    compensation terms vanish and it must reproduce round-to-nearest
+    exactly (damping only rescales the identity)."""
+    from genpercept_tpu.ops.quant import gptq_round
+
+    key = jax.random.key(30)
+    wf = jax.random.normal(key, (18, 6), jnp.float32) * 0.2
+    o_scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
+    H = jnp.eye(18, dtype=jnp.float32) * 100.0
+    wq = gptq_round(wf, o_scale, H)
+    rtn = jnp.clip(jnp.round(wf / o_scale), -127, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(wq), np.asarray(rtn))
+
+
+def test_conv_input_hessian_matches_explicit_im2col():
+    """conv_input_hessian == im2col(x)^T im2col(x) built by hand, in the
+    code domain, including padding semantics: symmetric stats pad with
+    code 0, asymmetric with q0 = -zp*127/a (what the q0-padded conv
+    actually feeds the MXU). Also covers the encoder downsampler geometry
+    (stride 2, (0,1) padding)."""
+    from genpercept_tpu.ops.quant import (
+        conv_input_hessian, mse_optimal_clip_asym)
+
+    key = jax.random.key(31)
+    x = jax.nn.silu(jax.random.normal(key, (2, 6, 6, 3), jnp.float32))
+
+    def im2col_gram(x, stat, stride, padding):
+        from genpercept_tpu.ops.quant import _split_stat
+        zp, a = _split_stat(jnp.asarray(stat), 1.0)
+        xf = np.asarray(x, np.float64)
+        (pt, pb), (pl, pr) = padding
+        xf = np.pad(xf, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+        if zp is not None:
+            xf = xf - np.asarray(zp, np.float64)
+        xf = xf * (127.0 / np.asarray(a, np.float64))
+        b, hp, wp, ci = xf.shape
+        nh = (hp - 3) // stride + 1
+        nw = (wp - 3) // stride + 1
+        cols = []
+        for bi in range(b):
+            for i in range(nh):
+                for j in range(nw):
+                    patch = xf[bi, i * stride:i * stride + 3,
+                               j * stride:j * stride + 3, :]
+                    cols.append(patch.reshape(-1))  # (kh,kw,ci) row-major
+        X = np.stack(cols)
+        return X.T @ X
+
+    for stat_fn, stride, padding in [
+        (absmax_per_channel, 1, ((1, 1), (1, 1))),
+        (mse_optimal_clip_asym, 1, ((1, 1), (1, 1))),
+        (mse_optimal_clip_asym, 2, ((0, 1), (0, 1))),
+    ]:
+        stat = stat_fn(x)
+        H = np.asarray(conv_input_hessian(
+            x, stat, stride=(stride, stride), padding=padding))
+        H_ref = im2col_gram(x, stat, stride, padding)
+        # bf16 tap dots: ~1% relative tolerance on the Gram
+        np.testing.assert_allclose(
+            H, H_ref, rtol=0.05, atol=0.05 * np.abs(H_ref).max())
+
+
+def test_gptq_beats_rtn_on_correlated_inputs():
+    """On spatially-smooth (strongly autocorrelated) inputs, GPTQ's error
+    compensation must reduce the conv output error vs round-to-nearest.
+    Forcing a coarse weight grid (few effective levels) makes rounding
+    error the dominant term so the win is unambiguous."""
+    from genpercept_tpu.ops.quant import conv_input_hessian, gptq_round
+
+    key = jax.random.key(32)
+    kx, kp = jax.random.split(key)
+    # smooth field: cumulative sums of noise -> strong spatial correlation
+    base = jax.random.normal(kx, (2, 16, 16, 8), jnp.float32)
+    x = jnp.cumsum(jnp.cumsum(base, axis=1), axis=2) * 0.05
+    p = _rand_conv(kp, 8, 12)
+    stat = absmax_per_channel(x)
+    a = jnp.maximum(stat, 1e-8)
+    wf = (p["weight"].astype(jnp.float32)
+          * (a / 127.0)[None, None, :, None])
+    # coarse grid: 8x the natural step (simulates ~5-bit weights)
+    o_scale = jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0 * 8.0
+    H = conv_input_hessian(x, stat)
+
+    wq_g = gptq_round(wf.reshape(-1, 12), o_scale, H).reshape(wf.shape)
+    wq_r = jnp.clip(jnp.round(wf / o_scale), -127, 127).astype(jnp.int8)
+
+    xq = jnp.clip(jnp.round(x * (127.0 / a)), -127, 127)
+    ref = conv2d(xq, wf, None)
+
+    def err(wq):
+        y = conv2d(xq, wq.astype(jnp.float32) * o_scale, None)
+        return float(jnp.mean(jnp.square(y - ref)))
+
+    e_g, e_r = err(wq_g), err(wq_r)
+    assert e_g < 0.8 * e_r, (e_g, e_r)
+
+
+def test_quantize_from_stats_gptq_end_to_end():
+    """hess-routed quantize_from_stats on the tiny VAE decoder: runs, and
+    the quantized decode error does not regress vs RTN."""
+    from genpercept_tpu.ops.quant import make_quant_conv_fn
+    from genpercept_tpu.models import vae_decode
+
+    vae = init_vae(jax.random.key(33), TINY_VAE)
+    z = jax.random.normal(jax.random.key(34), (2, 8, 8, 4), jnp.float32) * 0.3
+
+    stats, hess = {}, {}
+    calib = make_calib_conv_fn(stats, clip_search=True, asymmetric=True,
+                               hess=hess)
+    ref = vae_decode(vae, z, TINY_VAE, conv_fn=calib)
+    assert set(hess).issubset(set(stats))
+    assert all("upsamplers" not in k for k in hess)
+
+    q_rtn = quantize_from_stats(vae, stats, margin=1.0)
+    q_gptq = quantize_from_stats(vae, stats, margin=1.0, hess=hess)
+    out_r = vae_decode(vae, z, TINY_VAE, conv_fn=make_quant_conv_fn(q_rtn))
+    out_g = vae_decode(vae, z, TINY_VAE, conv_fn=make_quant_conv_fn(q_gptq))
+    e_r = np.abs(np.asarray(out_r - ref)).mean()
+    e_g = np.abs(np.asarray(out_g - ref)).mean()
+    assert e_g <= e_r * 1.1, (e_g, e_r)
+
+
+def test_pipeline_int8_gptq_end_to_end():
+    """int8_gptq=True through GenPerceptPipeline: the calibration program
+    returns the VAE Grams, quantize_from_stats routes them into gptq_round,
+    and the quantized run stays within the tiny-net error envelope."""
+    import tests.test_pipeline as TP
+
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    models = TP.tiny_models()
+    rgb = np.random.default_rng(10).uniform(size=(48, 48, 3)).astype(
+        np.float32)
+    pipe_fp = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0))
+    pipe_q = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0,
+                               int8_vae=True, int8_gptq=True,
+                               int8_exclude=()))
+    ref = pipe_fp(rgb).pred_np
+    first = pipe_q(rgb).pred_np
+    np.testing.assert_allclose(first, ref, atol=1e-6)  # calibration pass
+    vq = pipe_q._params["vae_quant"]
+    assert len(vq["enc"]) == 23 and len(vq["dec"]) == 31
+    second = pipe_q(rgb).pred_np
+    assert np.abs(second - ref).max() < 0.3
+    assert np.abs(second - ref).mean() < 0.05
