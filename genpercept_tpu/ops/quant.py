@@ -107,37 +107,50 @@ def mse_optimal_clip_asym(x: jax.Array) -> jax.Array:
 
     The channel's range [lo, hi] (forced to contain 0 — real zeros enter
     the conv via padding, so 0 must encode in-range) is parameterized as a
-    midpoint zp and half-range a; encoding is
-    xq = round((x - zp) * 127/a). VAE conv inputs sit after GroupNorm+SiLU
-    whose output is bounded below at -0.278 but unbounded above — the
-    measured activation-side int8 error (profile_int8_vae --attribution:
-    a-only 1.98e-2 of the 2.09e-2 full-placement total) is dominated by the
-    half of the symmetric range those skewed channels never use. The same
-    MSE clip search as mse_optimal_clip then shrinks the half-range, with
-    candidates restricted to ranges still containing 0, and zp is snapped
-    so that real 0 encodes EXACTLY onto an integer code (padding
-    contributes no rounding error)."""
+    midpoint zp and half-range a; encoding is xq = round((x-zp) * 127/a).
+    VAE conv inputs sit after GroupNorm+SiLU whose output is bounded below
+    at -0.278 but unbounded above — the measured activation-side int8
+    error (profile_int8_vae --attribution: a-only 1.98e-2 of the 2.09e-2
+    full-placement total) is dominated by the half of the symmetric range
+    those skewed channels never use.
+
+    The MSE search runs over three candidate families per channel:
+    midpoint-shrink (both endpoints toward the center — the natural move
+    for roughly-centered channels), hi-shrink (lo pinned, clip only the
+    positive tail), and lo-shrink. The endpoint families matter: for a
+    skewed post-SiLU channel like [-0.278, 10] the midpoint sits far from
+    0, so ANY midpoint-shrink ejects 0 from the range and the feasibility
+    guard rejects it — only endpoint shrinking can actually clip the tail.
+    The winner's zp is snapped so real 0 encodes EXACTLY onto an integer
+    code (padding contributes no rounding error)."""
     xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
     lo = jnp.minimum(jnp.min(xf, axis=0), 0.0)
     hi = jnp.maximum(jnp.max(xf, axis=0), 0.0)
     z0 = (lo + hi) / 2.0
     a0 = jnp.maximum((hi - lo) / 2.0, 1e-8)
-    xc = xf - z0
-    errs = []
+    cands = []  # (zp, a, feasible) per candidate
     for frac in CLIP_CANDIDATES:
         a = a0 * frac
-        s = a / 127.0
-        xq = jnp.clip(jnp.round(xc / s), -127.0, 127.0) * s
-        err = jnp.mean(jnp.square(xq - xc), axis=0)
-        # infeasible if the shrunk range no longer contains 0 (the pad code
-        # would clip); frac=1.0 is always feasible since [lo,hi] contains 0
-        feasible = a >= jnp.abs(z0) * (1.0 + 1.0 / 127.0)
-        errs.append(jnp.where(feasible, err, jnp.inf))
+        cands.append((z0, a, a >= jnp.abs(z0) * (1.0 + 1.0 / 127.0)))
+        if frac < 1.0:  # frac=1.0 duplicates the midpoint family's
+            t = jnp.bool_(True)
+            cands.append(((lo + hi * frac) / 2.0,
+                          jnp.maximum((hi * frac - lo) / 2.0, 1e-8), t))
+            cands.append(((lo * frac + hi) / 2.0,
+                          jnp.maximum((hi - lo * frac) / 2.0, 1e-8), t))
+    errs, zps, amps = [], [], []
+    for zp_c, a_c, ok in cands:
+        s = a_c / 127.0
+        xq = zp_c + jnp.clip(jnp.round((xf - zp_c) / s), -127.0, 127.0) * s
+        err = jnp.mean(jnp.square(xq - xf), axis=0)
+        errs.append(jnp.where(ok, err, jnp.inf))
+        zps.append(zp_c)
+        amps.append(a_c)
     best = jnp.argmin(jnp.stack(errs), axis=0)
-    fracs = jnp.asarray(CLIP_CANDIDATES, jnp.float32)
-    a = a0 * fracs[best]
+    z = jnp.take_along_axis(jnp.stack(zps), best[None], axis=0)[0]
+    a = jnp.take_along_axis(jnp.stack(amps), best[None], axis=0)[0]
     # snap zp so encode(0) = round(-zp*127/a) is exact (<= step/2 shift)
-    q0 = jnp.round(-z0 * 127.0 / a)
+    q0 = jnp.round(-z * 127.0 / a)
     zp = -q0 * a / 127.0
     return jnp.stack([zp, a])
 
@@ -289,8 +302,14 @@ def calibrate_chunked(calib_fn, params, rgb, *extra, chunk: int = 4):
 
     # side-channels merged by AVERAGING across chunks instead of range
     # union: per-chunk bias-correction residuals ("corr") and GPTQ input
-    # Hessians ("hess" — scale-free in gptq_round, so mean == sum)
+    # Hessians ("hess" — scale-free in gptq_round, so mean == sum). The
+    # Grams are pulled to HOST each chunk and summed in numpy: keeping the
+    # running sums device-resident while async dispatch queues the next
+    # chunk held 2-3 Gram sets live at once and reproducibly OOM'd the
+    # 16 GB HBM at 768^2 (hess is calibration-only, so the extra D2H copy
+    # costs nothing at runtime).
     avg_keys = ("corr", "hess")
+    host_keys = ("hess",)
     preds, merged, n = [], None, 0
     avg_sums: Dict[str, Dict] = {}
     for lo in range(0, b, chunk):
@@ -302,6 +321,8 @@ def calibrate_chunked(calib_fn, params, rgb, *extra, chunk: int = 4):
             side = stats.get(key)
             if side is None:
                 continue
+            if key in host_keys:
+                side = jax.tree.map(jax.device_get, side)
             if key not in avg_sums:
                 avg_sums[key] = side
             else:

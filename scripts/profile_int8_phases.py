@@ -45,13 +45,17 @@ def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--symmetric", action="store_true",
+                    help="time the symmetric int8 scheme instead of the "
+                         "production asymmetric (zero-point) one")
     args = ap.parse_args()
     b = args.batch
 
     from __graft_entry__ import _flagship_models
     from genpercept_tpu.models import vae_decode, vae_encode
     from genpercept_tpu.ops.quant import (
-        make_calib_conv_fn, make_quant_conv_fn, quantize_from_stats)
+        calibrate_chunked, make_calib_conv_fn, make_quant_conv_fn,
+        quantize_from_stats)
 
     models = _flagship_models(jnp.bfloat16)
     vae = models.params()["vae"]
@@ -61,13 +65,15 @@ def main():
     @jax.jit
     def calib(p, rgb, z):
         es, ds = {}, {}
-        _ = vae_encode(p, rgb, conv_fn=make_calib_conv_fn(es))
-        _ = vae_decode(p, z, conv_fn=make_calib_conv_fn(ds))
-        return es, ds
+        asym = not args.symmetric
+        _ = vae_encode(p, rgb, conv_fn=make_calib_conv_fn(es, asymmetric=asym))
+        _ = vae_decode(p, z, conv_fn=make_calib_conv_fn(ds, asymmetric=asym))
+        return rgb, {"enc": es, "dec": ds}
 
-    es, ds = jax.tree.map(lambda t: t, calib(vae, rgb, z))
-    qenc = quantize_from_stats(vae, es)
-    qdec = quantize_from_stats(vae, ds)
+    _, stats = calibrate_chunked(lambda p, rgb, z: calib(p, rgb, z),
+                                 vae, rgb, z, chunk=4)
+    qenc = quantize_from_stats(vae, stats["enc"])
+    qdec = quantize_from_stats(vae, stats["dec"])
 
     for name, fn, x in (
         ("encode_bf16", lambda x, p: vae_encode(p, x), rgb),

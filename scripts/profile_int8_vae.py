@@ -110,6 +110,14 @@ def main():
     pred_a_fp, stats = calibrate_chunked(calib, params, rgb_a,
                                          chunk=2 if args.gptq else 4)
     jax.block_until_ready(pred_a_fp)
+    # Pull the GPTQ Grams to host and run the batch-16 FULL-PRECISION
+    # reference now, before any quantization state exists: the fp program
+    # needs nearly the whole 16 GB HBM, and with the Grams + quantized
+    # trees resident it reproducibly OOMs (twice, at this exact call).
+    # The fp reference depends only on params + rgb_b anyway.
+    hess = jax.tree.map(np.asarray, stats.pop("hess", {}))
+    pred_b_fp = np.asarray(infer_fp(params, rgb_b))
+
     def keep(s):
         return {k: v for k, v in s.items()
                 if not any(e in k for e in excludes)}
@@ -117,7 +125,6 @@ def main():
     params = dict(params)
     m = 1.0 if refine else cfg.int8_margin
     wc = args.weight_clip
-    hess = stats.get("hess", {})
     params["vae_quant"] = {
         "enc": quantize_from_stats(models.vae, keep(stats["enc"]), m,
                                    weight_clip=wc, hess=hess.get("enc")),
@@ -128,6 +135,7 @@ def main():
         params["vae_quant"]["unet"] = quantize_from_stats(
             models.unet, keep(stats["unet"]), m, asymmetric_downsample=False,
             weight_clip=wc)
+    del hess
     if refine:
         params["vae_quant"] = {
             k: apply_bias_correction(v, stats["corr"][k])
@@ -138,7 +146,6 @@ def main():
                       "unet": len(params["vae_quant"].get("unet", {}))},
                      ), flush=True)
 
-    pred_b_fp = np.asarray(infer_fp(params, rgb_b))
     pred_b_q = np.asarray(infer_q(params, rgb_b))
     err = np.abs(pred_b_q - pred_b_fp)
     print(json.dumps({

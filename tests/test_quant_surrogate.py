@@ -149,3 +149,31 @@ def test_vae_decode_int8_holds_fidelity_on_heavy_tails():
     err = float(jnp.mean(jnp.abs(out - ref)))
     rng = float(jnp.max(jnp.abs(ref)))
     assert err / max(rng, 1e-6) < 4e-2, (err, rng)
+
+
+def test_asym_gptq_improve_on_heavy_tails():
+    """The round-3 additions (asymmetric activation quantization + GPTQ
+    weight rounding) must not regress — and together should improve — the
+    heavy-tail surrogate's end-to-end decode error vs the round-2 scheme
+    (symmetric clip search + bias correction)."""
+    from genpercept_tpu.ops.quant import apply_bias_correction
+
+    vae = heavy_tail_params(init_vae(jax.random.key(0), TINY_VAE),
+                            jax.random.key(11))
+    z = jax.random.normal(jax.random.key(1), (2, 8, 8, 4), jnp.float32) * 0.4
+
+    def run(asymmetric, gptq):
+        stats, corr, hess = {}, {}, ({} if gptq else None)
+        ref = vae_decode(
+            vae, z, TINY_VAE,
+            conv_fn=make_calib_conv_fn(stats, corr=corr, clip_search=True,
+                                       margin=1.0, asymmetric=asymmetric,
+                                       hess=hess))
+        qtree = apply_bias_correction(
+            quantize_from_stats(vae, stats, 1.0, hess=hess), corr)
+        out = vae_decode(vae, z, TINY_VAE, conv_fn=make_quant_conv_fn(qtree))
+        return float(jnp.mean(jnp.abs(out - ref)))
+
+    e_r2 = run(asymmetric=False, gptq=False)
+    e_r3 = run(asymmetric=True, gptq=True)
+    assert e_r3 <= e_r2 * 1.05, (e_r3, e_r2)

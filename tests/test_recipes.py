@@ -45,6 +45,44 @@ def test_recipe_resolves(path):
         assert tc.scheduler.beta_start == 1.0 and tc.scheduler.beta_end == 1.0
 
 
+DATASET_CFGS = sorted(
+    glob.glob(os.path.join(REPO, "configs/dataset/**/*.yaml"), recursive=True)
+)
+
+
+@pytest.mark.parametrize("path", DATASET_CFGS,
+                         ids=lambda p: os.path.relpath(p, REPO))
+def test_dataset_config_names_registered_adapters(path):
+    """Every shipped dataset yaml (train/val/vis splits, incl. the mixture
+    forms) must name only registered dataset adapters with the fields
+    get_dataset consumes (reference: config/dataset/*.yaml feeding
+    src/dataset/__init__.py:48-70)."""
+    from genpercept_tpu.data.datasets import DATASET_REGISTRY
+
+    cfg = recursive_load_config(os.path.relpath(path, REPO))
+
+    def check(spec):
+        name = spec["name"]
+        if name == "mixed":
+            subs = spec["dataset_list"]
+            assert len(spec["prob_ls"]) == len(subs)
+            for s in subs:
+                check(s)
+            return
+        assert name in DATASET_REGISTRY, name
+        assert spec["filenames"], spec
+        assert spec["dir"], spec
+
+    ds = cfg["dataset"]
+    if "name" in ds:  # eval configs hold the spec directly (no split key)
+        check(ds)
+        return
+    assert any(k in ds for k in ("train", "val", "vis")), ds
+    for split, spec in ds.items():
+        for s in spec if isinstance(spec, list) else [spec]:
+            check(s)
+
+
 def test_beta_ablation_parses_scheduler_path():
     cfg = recursive_load_config(
         "configs/train/ablation/beta_values/wo_rgb_blending_0p00085_0p012.yaml"
