@@ -318,11 +318,17 @@ def calibrate_chunked(calib_fn, params, rgb, *extra, chunk: int = 4):
         n += 1
         groups = {k: v for k, v in stats.items() if k not in avg_keys}
         for key in avg_keys:
-            side = stats.get(key)
+            side = stats.pop(key, None)
             if side is None:
                 continue
             if key in host_keys:
-                side = jax.tree.map(jax.device_get, side)
+                host = jax.tree.map(jax.device_get, side)
+                # drop the DEVICE Gram buffers before the next chunk
+                # dispatches — holding them across iterations keeps two
+                # chunks' Grams (~2x1.8 GB for the VAE) live at once and
+                # OOMs the 16 GB HBM alongside the calibration live set
+                del side
+                side = host
             if key not in avg_sums:
                 avg_sums[key] = side
             else:

@@ -106,9 +106,10 @@ def main():
                                    jnp.float32)
 
     # chunked: the batch-16 asym calibration program needs 25.4 GB HBM
-    # (chunk 2 with the GPTQ Grams resident, ~1.4 GB for the VAE)
+    # (chunk 1 with the GPTQ Grams resident — ~1.8 GB of per-chunk Gram
+    # outputs must coexist with the calibration live set)
     pred_a_fp, stats = calibrate_chunked(calib, params, rgb_a,
-                                         chunk=2 if args.gptq else 4)
+                                         chunk=1 if args.gptq else 4)
     jax.block_until_ready(pred_a_fp)
     # Pull the GPTQ Grams to host and run the batch-16 FULL-PRECISION
     # reference now, before any quantization state exists: the fp program
