@@ -58,13 +58,19 @@ def scale_shift_disparity_normalize(
         valid_mask = np.ones_like(depth, bool)
     valid_mask = valid_mask & (depth > 0)
     lo, hi = _quantile_min_max(depth, valid_mask, quantile)
+    # reference (depth_transform.py:168-177): disp = 1/depth with invalid
+    # pixels at depth 0 -> +inf, so they are EXCLUDED from the min taken
+    # next (inf never wins a min); using 0 or any finite placeholder there
+    # shifts the renormalization window (caught by the reference-module
+    # oracle, tests/test_reference_oracle.py)
     with np.errstate(divide="ignore", invalid="ignore"):
-        disp = np.where(depth > 0, 1.0 / np.maximum(depth, 1e-12), 0.0)
+        disp = np.where(valid_mask, 1.0 / np.maximum(depth, 1e-12), np.inf)
     disp_min, disp_max = 1.0 / max(hi, 1e-12), 1.0 / max(lo, 1e-12)
     out = (disp - disp_min) / max(disp_max - disp_min, 1e-12)
-    out = np.where(valid_mask, out, out.min())
+    mn = out.min()  # min over valid pixels (invalid are +inf)
+    out = np.where(valid_mask, out, mn)
     rng = norm_max - norm_min
-    out = (out - out.min()) / max(out.max() - out.min(), 1e-12) * rng + norm_min
+    out = (out - mn) / max(out.max() - mn, 1e-12) * rng + norm_min
     out = np.where(valid_mask, out, norm_min)
     if clip:
         out = np.clip(out, norm_min, norm_max)

@@ -16,13 +16,16 @@ import numpy as np
 
 
 def _nearest_downsample_np(x: np.ndarray, scale: float) -> np.ndarray:
-    """torch nn.Upsample(scale_factor, mode='nearest') semantics:
-    out size floor(in*scale); src index floor(i / scale)."""
-    h, w = x.shape[-2:]
-    oh, ow = int(h * scale), int(w * scale)
-    ys = np.minimum((np.arange(oh) / scale).astype(int), h - 1)
+    """Reference downsample semantics, faithfully (alignment.py:46-54):
+    the reference feeds the squeezed (H, W) array to nn.Upsample as a 3-D
+    (1, H, W) tensor, which torch treats as (N, C, L) and interpolates 1-D
+    over the LAST dim only — so only W shrinks (out size floor(w*scale),
+    src index floor(i/scale)); H is untouched. Verified against the real
+    reference module in tests/test_reference_oracle.py."""
+    w = x.shape[-1]
+    ow = int(w * scale)
     xs = np.minimum((np.arange(ow) / scale).astype(int), w - 1)
-    return x[..., ys, :][..., :, xs]
+    return x[..., xs]
 
 
 def align_depth_least_square(

@@ -39,12 +39,36 @@ def masked_l1(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Array:
 # -------------------------------------------------------------- latent losses
 # (src/util/loss.py factory: used for marigold-style latent training)
 
-def silog_mse(pred: jax.Array, target: jax.Array, lam: float = 0.5) -> jax.Array:
-    d = jnp.log(jnp.maximum(pred, _EPS)) - jnp.log(jnp.maximum(target, _EPS))
-    return jnp.mean(d**2) - lam * jnp.mean(d) ** 2
+def silog_mse(pred: jax.Array, target: jax.Array, lam: float = 0.5,
+              mask: jax.Array | None = None, log_pred: bool = False,
+              batch_reduction: bool = True) -> jax.Array:
+    """SILogMSELoss (src/util/loss.py:70-101): per-image first/second log
+    terms, optional valid mask, then batch mean. log_pred=True means `pred`
+    is already log-depth (the reference's default; our latent callers pass
+    linear depth, hence log_pred=False here)."""
+    lp = pred if log_pred else jnp.log(jnp.clip(pred, _EPS))
+    d = lp - jnp.log(jnp.maximum(target, _EPS))
+    if mask is not None:
+        d = jnp.where(mask, d, 0.0)
+        n = jnp.sum(mask, axis=(-1, -2))
+    elif d.ndim >= 2:
+        n = d.shape[-1] * d.shape[-2]
+    else:
+        n = d.shape[-1]
+    axes = (-1, -2) if d.ndim >= 2 else (-1,)
+    first = jnp.sum(d**2, axis=axes) / n
+    second = lam * jnp.sum(d, axis=axes) ** 2 / (n**2)
+    loss = first - second
+    return jnp.mean(loss) if batch_reduction else loss
 
-def silog_rmse(pred: jax.Array, target: jax.Array, lam: float = 0.5) -> jax.Array:
-    return jnp.sqrt(silog_mse(pred, target, lam) + _EPS)
+def silog_rmse(pred: jax.Array, target: jax.Array, lam: float = 0.5,
+               mask: jax.Array | None = None, log_pred: bool = False,
+               alpha: float = 1.0) -> jax.Array:
+    """SILogRMSELoss (src/util/loss.py:104-140): sqrt of the per-image
+    silog terms, batch-meaned, scaled by alpha."""
+    loss = silog_mse(pred, target, lam, mask=mask, log_pred=log_pred,
+                     batch_reduction=False)
+    return jnp.mean(jnp.sqrt(jnp.maximum(loss, 0.0) + _EPS)) * alpha
 
 def mean_abs_rel(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean(jnp.abs(pred - target) / jnp.maximum(jnp.abs(target), _EPS))
@@ -55,9 +79,16 @@ def get_loss(loss_name: str, **kwargs):
     silog_mse / silog_rmse / mse_loss / l1_loss / l1_loss_with_mask /
     mean_abs_rel."""
     if loss_name == "silog_mse":
-        return lambda pred, target, **kw: silog_mse(pred, target)
+        lam = kwargs.get("lamb", 0.5)
+        log_pred = kwargs.get("log_pred", True)  # reference default
+        return lambda pred, target, mask=None, **kw: silog_mse(
+            pred, target, lam, mask=mask, log_pred=log_pred)
     if loss_name == "silog_rmse":
-        return lambda pred, target, **kw: silog_rmse(pred, target)
+        lam = kwargs.get("lamb", 0.5)
+        alpha = kwargs.get("alpha", 1.0)
+        log_pred = kwargs.get("log_pred", True)
+        return lambda pred, target, mask=None, **kw: silog_rmse(
+            pred, target, lam, mask=mask, log_pred=log_pred, alpha=alpha)
     if loss_name == "mse_loss":
         return lambda pred, target, **kw: jnp.mean((pred - target) ** 2)
     if loss_name == "l1_loss":
@@ -206,18 +237,31 @@ def gradient_loss(
 def gradient_log_loss(
     pred: jax.Array, target: jax.Array, mask: jax.Array, scales: int = 1
 ) -> jax.Array:
-    """Log-space multi-scale gradient loss (GradientLoss_Li,
-    gradient_loss.py:43-63): invalid targets shifted far before the log."""
-    target_safe = jnp.where(mask, target, target + 100.0)
+    """Log-space gradient loss (GradientLoss_Li, gradient_loss.py:25-63):
+    |d_i - d_{i+2}| over a TWO-pixel gap on the log-depth difference,
+    normalized by the masked-GRADIENT count (sum of both direction masks
+    + 1e-6), invalid targets shifted +100 before the log. Present in the
+    reference but unwired by any training recipe (the trainer's grad_loss
+    is the Ke-Xian GradientLoss); verified against the reference module in
+    tests/test_reference_oracle.py. For scales > 1 both spatial dims are
+    strided (the reference's own striding indexes the channel dim of its
+    4-D input — broken for scale_num > 1 and never exercised)."""
+    target_safe = target + jnp.where(mask, 0.0, 100.0)
     pred_log = jnp.log(jnp.maximum(pred, _EPS))
     gt_log = jnp.log(jnp.maximum(target_safe, _EPS))
+    diff = pred_log - gt_log
+    m = mask.astype(pred.dtype)
     total = 0.0
     for scale in range(scales):
         step = 2**scale
-        total += _gradient_term(
-            pred_log[:, ::step, ::step], gt_log[:, ::step, ::step],
-            mask[:, ::step, ::step],
-        )
+        d = diff[:, ::step, ::step]
+        mm = m[:, ::step, ::step]
+        v_m = mm[:, :-2, :] * mm[:, 2:, :]
+        h_m = mm[:, :, :-2] * mm[:, :, 2:]
+        v = jnp.abs(d[:, :-2, :] - d[:, 2:, :]) * v_m
+        h = jnp.abs(d[:, :, :-2] - d[:, :, 2:]) * h_m
+        n = jnp.sum(v_m) + jnp.sum(h_m) + 1e-6
+        total += (jnp.sum(v) + jnp.sum(h)) / n
     return total / scales
 
 

@@ -44,3 +44,59 @@ def test_bench_int8_branch_cpu(monkeypatch, capsys):
     assert rec["value"] > 0
     assert "int8" in rec["numerics"]
     assert rec["vs_baseline"] > 0
+
+
+def test_bench_ladder_falls_back(monkeypatch, capsys):
+    """The round-3 regression: a failure inside a rung (e.g. the asym
+    calibration program's remote-compile HTTP 500) must fall down the
+    ladder and still print a JSON line, never exit nonzero."""
+    import __graft_entry__
+    import bench
+
+    monkeypatch.setattr(__graft_entry__, "_flagship_models", _tiny_flagship)
+    monkeypatch.setenv("BENCH_INT8", "1")
+    monkeypatch.setenv("BENCH_BATCH", "1")
+
+    real_run_rung = bench.run_rung
+
+    def failing_first_rungs(models, rung, batch, res, n_lo, n_hi):
+        if rung["int8"]:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8083/remote_compile: HTTP 500")
+        return real_run_rung(models, rung, batch, res, n_lo, n_hi)
+
+    monkeypatch.setattr(bench, "run_rung", failing_first_rungs)
+    bench.main()
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["rung"] == "bf16"
+    assert rec["numerics"] == "bf16"
+    assert rec["value"] > 0
+
+
+def test_bench_oom_halves_batch(monkeypatch, capsys):
+    """OOM-shaped errors retry the SAME rung at half the batch."""
+    import __graft_entry__
+    import bench
+
+    monkeypatch.setattr(__graft_entry__, "_flagship_models", _tiny_flagship)
+    monkeypatch.setenv("BENCH_INT8", "1")
+    monkeypatch.setenv("BENCH_BATCH", "4")
+
+    real_run_rung = bench.run_rung
+    seen = []
+
+    def oom_above_1(models, rung, batch, res, n_lo, n_hi):
+        seen.append((rung["name"], batch))
+        if batch > 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory in hbm")
+        return real_run_rung(models, rung, batch, res, n_lo, n_hi)
+
+    monkeypatch.setattr(bench, "run_rung", oom_above_1)
+    bench.main()
+
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["batch"] == 1
+    # same rung retried at 4 -> 2 -> 1, no rung change
+    assert seen[:3] == [("int8-asym", 4), ("int8-asym", 2), ("int8-asym", 1)]
