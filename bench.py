@@ -159,8 +159,12 @@ def main():
         rungs = [dict(name="bf16", int8=False)]
     elif force_int8 or on_tpu:
         rungs = [
-            dict(name="int8-asym", int8=True, asym=True, chunk=4),
-            dict(name="int8-asym-c2", int8=True, asym=True, chunk=2),
+            # asym calibration at chunk 4 OOMs the 16 GB HBM (the round-3
+            # endpoint-shrink clip search tripled the per-candidate stat
+            # temps; measured on-chip 2026-08-19) — chunk 2 is the asym
+            # default, and run_rung still halves further on OOM
+            dict(name="int8-asym", int8=True, asym=True, chunk=2),
+            dict(name="int8-asym-c1", int8=True, asym=True, chunk=1),
             dict(name="int8-sym", int8=True, asym=False, chunk=4),
             dict(name="bf16", int8=False),
         ]

@@ -9,6 +9,7 @@ import argparse
 import logging
 import os
 import os.path as osp
+import sys
 
 import numpy as np
 
@@ -58,11 +59,25 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     if (osp.isdir(args.output_dir) and os.listdir(args.output_dir)
             and not args.overwrite):
-        # the reference asks interactively here (infer.py:249-267)
-        raise SystemExit(
-            f"output dir {args.output_dir} is not empty; pass --overwrite "
-            "to replace existing predictions"
-        )
+        # the reference confirms interactively (infer.py:249-267); do the
+        # same on a TTY, and fail fast with a actionable message when
+        # headless (batch jobs must not hang on stdin)
+        if sys.stdin is not None and sys.stdin.isatty():
+            while True:
+                resp = input(
+                    f"The directory '{args.output_dir}' already exists. "
+                    "Are you sure to continue? (y/n): ").strip().lower()
+                if resp == "y":
+                    break
+                if resp == "n":
+                    raise SystemExit("Exiting...")
+                print("Invalid input. Please enter 'y' (for Yes) or 'n' "
+                      "(for No).")
+        else:
+            raise SystemExit(
+                f"output dir {args.output_dir} is not empty; pass "
+                "--overwrite to replace existing predictions"
+            )
     if args.archs == "genpercept":
         args.denoise_steps, args.ensemble_size = 1, 1
 

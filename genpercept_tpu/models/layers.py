@@ -280,6 +280,23 @@ def feed_forward(p: Params, x: jax.Array, dense_fn=None,
     w = p["net"]["0"]["proj"]["weight"]
     b = p["net"]["0"]["proj"].get("bias")
     if dense_fn is not None:
+        # int8 execution path (make_quant_dense_fn exposes its qtree): when
+        # all three matmuls of this FF are calibrated, run them as ONE
+        # Pallas program with s8 MXU matmuls and VMEM-resident
+        # intermediates (ops/fused_ff.py::fused_geglu_ff_int8) — the same
+        # streaming as the bf16 fused kernel, so QDense no longer displaces
+        # the fusion (the round-2 negative result for int8_unet_dense)
+        qtree = getattr(dense_fn, "qtree", None)
+        if qtree is not None and jax.default_backend() != "cpu":
+            from genpercept_tpu.ops import fused_ff as FF
+
+            qh = qtree.get(name + ".net.0.proj:h")
+            qg = qtree.get(name + ".net.0.proj:g")
+            q2 = qtree.get(name + ".net.2")
+            if (qh is not None and qg is not None and q2 is not None
+                    and FF.supported_int8(x.shape[0], x.shape[1],
+                                          x.shape[2])):
+                return FF.fused_geglu_ff_int8(x, qh, qg, q2)
         # quantized/calibration path: the two GEGLU halves stay separate
         # column-sliced matmuls (same HBM argument as below), each its own
         # QDense keyed by the :h / :g suffix

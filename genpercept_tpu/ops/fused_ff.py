@@ -129,6 +129,106 @@ def _fused_ff_bwd(res, g):
 fused_geglu_ff.defvjp(_fused_ff_fwd, _fused_ff_bwd)
 
 
+# ------------------------------------------------------- int8 (W8A8) path
+
+def _kernel_int8(x_ref, w1h_ref, w1g_ref, w2_ref,
+                 inva1_ref, zp1_ref, osch_ref, bh_ref, oscg_ref, bg_ref,
+                 inva2_ref, zp2_ref, osc2_ref, b2_ref, o_ref, *, asym):
+    """W8A8 GEGLU FF with the same VMEM streaming as _kernel: the three
+    matmuls run s8 x s8 -> s32 on the MXU (2x the bf16 rate on v5e) against
+    statically-calibrated per-channel scales, and the (R, 4C) intermediates
+    never exist in HBM. Per-matmul numerics are EXACTLY qdense_apply
+    (ops/quant.py): quantize the (shifted) input per channel, integer
+    matmul, f32 scale+bias epilogue (zero-point constants are pre-folded
+    into the bias by quantize_dense), round to the input dtype where the
+    unfused path materializes."""
+    x = x_ref[...].astype(jnp.float32)  # (R, C)
+    if asym:
+        x = x - zp1_ref[0].astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x * inva1_ref[0]), -127.0, 127.0).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        xq, w1h_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * osch_ref[0] + bh_ref[0]
+    g = jax.lax.dot_general(
+        xq, w1g_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * oscg_ref[0] + bg_ref[0]
+    # round to the compute dtype where the unfused int8 path materializes
+    # hidden/gate (qdense_apply returns x.dtype)
+    h = h.astype(o_ref.dtype).astype(jnp.float32)
+    g = g.astype(o_ref.dtype).astype(jnp.float32)
+    a = h * (0.5 * g * (1.0 + _erf_f32(g * (2.0 ** -0.5))))
+    a = a.astype(o_ref.dtype).astype(jnp.float32)
+    if asym:
+        a = a - zp2_ref[0].astype(jnp.float32)
+    aq = jnp.clip(jnp.round(a * inva2_ref[0]), -127.0, 127.0).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        aq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * osc2_ref[0] + b2_ref[0]
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _vec(v, dim, dtype=jnp.float32):
+    if v is None:
+        v = jnp.zeros((dim,), dtype)
+    return jnp.asarray(v, dtype).reshape(1, dim)
+
+
+def supported_int8(b: int, s: int, c: int) -> bool:
+    """int8 variant policy: C=320 streams at row-block 512 like the bf16
+    kernel; C=640 fits VMEM at row-block 256 (s8 weights are half the
+    bf16 bytes, which is also why 640 is worth retrying here after losing
+    in bf16). C=1280's 3x 6.5 MB weight blocks blow the VMEM budget."""
+    if c == 320:
+        return (b * s) % 512 == 0
+    if c == 640:
+        return (b * s) % 256 == 0
+    return False
+
+
+def fused_geglu_ff_int8(x: jax.Array, qh, qg, q2) -> jax.Array:
+    """x: (B, S, C); qh/qg: QDense for the GEGLU hidden/gate column halves
+    (din=C, dout=inner); q2: QDense for the down-projection (inner, C).
+    Inference-only (the int8 path has no training story). Numerically
+    equivalent to qdense_apply(qh/qg) -> gelu-mul -> qdense_apply(q2); see
+    tests/test_ops.py."""
+    bsz, s, c = x.shape
+    inner = qh.w_int8.shape[1]
+    rows = bsz * s
+    rb = _ROW_BLK if c <= 320 else 256
+    asym = qh.zp is not None or q2.zp is not None
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, asym=asym),
+        grid=(rows // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((inner, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+             for d in (c, c, inner, inner, inner, inner, inner, inner, c, c)],
+        out_specs=pl.BlockSpec((rb, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=40 * 1024 * 1024,
+        ),
+    )(
+        x.reshape(rows, c),
+        qh.w_int8, qg.w_int8, q2.w_int8,
+        _vec(qh.inv_a, c), _vec(qh.zp, c),
+        _vec(qh.o_scale, inner), _vec(qh.bias, inner),
+        _vec(qg.o_scale, inner), _vec(qg.bias, inner),
+        _vec(q2.inv_a, inner), _vec(q2.zp, inner),
+        _vec(q2.o_scale, c), _vec(q2.bias, c),
+    )
+    return out.reshape(bsz, s, c)
+
+
 @jax.jit
 def _fused_geglu_fwd_impl(
     x: jax.Array,

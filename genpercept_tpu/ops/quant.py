@@ -303,24 +303,46 @@ def calibrate_chunked(calib_fn, params, rgb, *extra, chunk: int = 4):
     # side-channels merged by AVERAGING across chunks instead of range
     # union: per-chunk bias-correction residuals ("corr") and GPTQ input
     # Hessians ("hess" — scale-free in gptq_round, so mean == sum). The
+    # average is weighted by chunk size, so a ragged tail chunk (1 image
+    # in a chunk-4 run) contributes proportionally, not equally. The
     # Grams are pulled to HOST each chunk and summed in numpy: keeping the
     # running sums device-resident while async dispatch queues the next
     # chunk held 2-3 Gram sets live at once and reproducibly OOM'd the
     # 16 GB HBM at 768^2 (hess is calibration-only, so the extra D2H copy
     # costs nothing at runtime).
+    #
+    # Both side-channels are second-order approximations of their merged-
+    # stat values: each chunk measures corr against its own in-trace
+    # quantizer and accumulates its Gram in its own chunk's code domain
+    # (that chunk's zp/a), while the consumers (apply_bias_correction,
+    # gptq_round) fold the MERGED stats into the weights. The per-channel
+    # affine drift between a chunk's range and the union range is what the
+    # 1.1x/clip-search margins already absorb; an exact two-pass recompute
+    # was judged not worth a second full calibration program. Additionally,
+    # under int8_gptq the corr residuals are measured against the
+    # RTN-rounded quantizer but folded onto the GPTQ-rounded tree — an
+    # RTN-domain approximation of the (smaller) GPTQ rounding error.
     avg_keys = ("corr", "hess")
     host_keys = ("hess",)
-    preds, merged, n = [], None, 0
+    preds, merged = [], None
     avg_sums: Dict[str, Dict] = {}
+    n_images = 0
     for lo in range(0, b, chunk):
-        pred, stats = run(lo, min(lo + chunk, b))
+        hi = min(lo + chunk, b)
+        pred, stats = run(lo, hi)
         preds.append(pred)
-        n += 1
+        sz = hi - lo
+        n_images += sz
         groups = {k: v for k, v in stats.items() if k not in avg_keys}
         for key in avg_keys:
             side = stats.pop(key, None)
             if side is None:
                 continue
+            assert isinstance(side, dict) and all(
+                isinstance(v, dict) for v in side.values()), (
+                f"'{key}' side-channel must be a {{group: {{path: array}}}} "
+                "tree (flat dicts would silently iterate array rows)")
+            side = jax.tree.map(lambda v: v * sz, side)  # chunk-size weight
             if key in host_keys:
                 host = jax.tree.map(jax.device_get, side)
                 # drop the DEVICE Gram buffers before the next chunk
@@ -341,7 +363,7 @@ def calibrate_chunked(calib_fn, params, rgb, *extra, chunk: int = 4):
         merged = {k: merge_val(merged[k], groups[k]) for k in groups}
     out = dict(merged)
     for key, sums in avg_sums.items():
-        out[key] = {g: {k: v / n for k, v in d.items()}
+        out[key] = {g: {k: v / n_images for k, v in d.items()}
                     for g, d in sums.items()}
     pred = preds[0] if len(preds) == 1 else jnp.concatenate(preds, axis=0)
     return pred, out
@@ -727,6 +749,9 @@ def make_quant_dense_fn(qtree: Dict) -> "callable":
             return qdense_apply(q, x)
         return attention_projection(x, p["weight"], p.get("bias"))
 
+    # models/layers.py::feed_forward inspects the tree to fuse a fully-
+    # quantized GEGLU FF into one Pallas program (fused_geglu_ff_int8)
+    dense_fn.qtree = qtree
     return dense_fn
 
 

@@ -91,6 +91,14 @@ class PipelineConfig:
     # bandwidth-light matmuls that XLA already runs near peak. Kept for
     # memory-bound deployments (halves UNet transformer weight traffic).
     int8_unet_dense: bool = False
+    # Quantize ONLY the GEGLU feed-forward matmuls and run each FF as one
+    # Pallas program with s8 MXU matmuls and VMEM-resident intermediates
+    # (ops/fused_ff.py::fused_geglu_ff_int8) — the fix for the
+    # int8_unet_dense negative result above: the quantization now lives
+    # INSIDE the fused kernel instead of displacing it. Attention
+    # projections stay bf16 (they were the losing part of int8_unet_dense).
+    # Requires int8_unet; subsumed by int8_unet_dense when that is set.
+    int8_unet_ff: bool = False
     # Calibration refinements (both computed inside the one calibration
     # program, no extra compile pass): per-channel MSE-optimal clip search
     # instead of absmax*margin, and bias correction (fold the measured
@@ -279,6 +287,19 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
                 u_conv = make_calib_conv_fn(unet_stats, corr=ucorr, **kw)
                 if cfg.int8_unet_dense:
                     u_dense = make_calib_dense_fn(unet_stats, corr=ucorr, **kw)
+                elif cfg.int8_unet_ff:
+                    # record stats only for the GEGLU FF matmuls; attention
+                    # projections pass through full precision uncalibrated
+                    inner_fn = make_calib_dense_fn(unet_stats, corr=ucorr,
+                                                   **kw)
+
+                    def u_dense(name, p, x, _f=inner_fn):
+                        if ".ff.net." in name:
+                            return _f(name, p, x)
+                        from genpercept_tpu.ops.attention import (
+                            attention_projection)
+                        return attention_projection(x, p["weight"],
+                                                    p.get("bias"))
         elif quant_mode == "quant":
             enc_fn = make_quant_conv_fn(params["vae_quant"]["enc"])
             dec_fn = make_quant_conv_fn(params["vae_quant"]["dec"])
@@ -288,7 +309,11 @@ def build_single_infer(models: GenPerceptModels, cfg: PipelineConfig,
                 dec_dense = make_quant_dense_fn(params["vae_quant"]["dec"])
             if cfg.int8_unet:
                 u_conv = make_quant_conv_fn(params["vae_quant"]["unet"])
-                if cfg.int8_unet_dense:
+                if cfg.int8_unet_dense or cfg.int8_unet_ff:
+                    # for int8_unet_ff the qtree only holds .ff.net. paths;
+                    # everything else falls back to full precision, and
+                    # feed_forward fuses fully-quantized FFs into one
+                    # Pallas program via dense_fn.qtree
                     u_dense = make_quant_dense_fn(params["vae_quant"]["unet"])
         elif quant_mode is not None and quant_mode.startswith("fake:"):
             from genpercept_tpu.ops.quant import make_fakequant_conv_fn
@@ -454,10 +479,13 @@ class GenPerceptPipeline:
 
             # calibration holds ~2x the inference program's activations
             # (stat temps + in-trace quantized convs) — run it in chunks
-            # of 4 images per data shard (2 with the GPTQ Grams resident)
-            # so the first batch fits HBM at the same batch size every
-            # later batch uses
-            chunk = (2 if self.cfg.int8_gptq else 4) * self.n_data_shards
+            # per data shard so the first batch fits HBM at the same batch
+            # size every later batch uses: 4 images/shard symmetric, 2 with
+            # asymmetric stats (the endpoint-shrink clip search triples the
+            # per-candidate temps; chunk 4 asym OOMs 16 GB, measured
+            # 2026-08-19) or with the GPTQ Grams resident
+            chunk = (2 if (self.cfg.int8_gptq or self.cfg.int8_asymmetric)
+                     else 4) * self.n_data_shards
             pred, stats = calibrate_chunked(
                 self._calib_infer, self._params, x, noise, chunk=chunk)
             m = 1.0 if self.cfg.int8_refine else self.cfg.int8_margin

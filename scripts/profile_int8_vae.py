@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--dense", action="store_true",
                     help="with --unet: quantize the transformer matmuls too "
                          "(int8_unet_dense; measured slower end-to-end)")
+    ap.add_argument("--ff", action="store_true",
+                    help="with --unet: quantize ONLY the GEGLU feed-forward "
+                         "matmuls and run each FF as one fused s8 Pallas "
+                         "program (int8_unet_ff)")
     ap.add_argument("--vae_attn", action="store_true",
                     help="s8 QK^T/PV flash kernel + int8 projections for "
                          "the VAE mid-block d=512 attention")
@@ -84,6 +88,7 @@ def main():
     cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16,
                          int8_vae=True, int8_unet=args.unet,
                          int8_unet_dense=args.dense, int8_refine=refine,
+                         int8_unet_ff=args.ff,
                          int8_weight_clip=args.weight_clip,
                          int8_asymmetric=not args.symmetric,
                          int8_gptq=args.gptq,
@@ -107,9 +112,10 @@ def main():
 
     # chunked: the batch-16 asym calibration program needs 25.4 GB HBM
     # (chunk 1 with the GPTQ Grams resident — ~1.8 GB of per-chunk Gram
-    # outputs must coexist with the calibration live set)
-    pred_a_fp, stats = calibrate_chunked(calib, params, rgb_a,
-                                         chunk=1 if args.gptq else 4)
+    # outputs must coexist with the calibration live set; chunk 2 for
+    # asym — the endpoint-shrink clip search OOMs at chunk 4)
+    chunk = 1 if args.gptq else (4 if args.symmetric else 2)
+    pred_a_fp, stats = calibrate_chunked(calib, params, rgb_a, chunk=chunk)
     jax.block_until_ready(pred_a_fp)
     # Pull the GPTQ Grams to host and run the batch-16 FULL-PRECISION
     # reference now, before any quantization state exists: the fp program

@@ -357,6 +357,82 @@ def main():
                                   "ms": round(dt * 1e3, 2),
                                   "tflops": round(fl / dt / 1e12, 1)}))
 
+    if args.part == "int8ff":
+        # W8A8 fused GEGLU (one s8 Pallas program, VMEM intermediates) vs
+        # the bf16 fused kernel vs the XLA split path (VERDICT r3 #4)
+        from genpercept_tpu.ops.fused_ff import (fused_geglu_ff,
+                                                 fused_geglu_ff_int8)
+        from genpercept_tpu.ops.quant import absmax_per_channel, quantize_dense
+
+        for s, c in ((9216, 320), (2304, 640)):
+            x = jax.random.normal(jax.random.key(3), (b, s, c), bf)
+            p = jax.tree.map(lambda t: t.astype(bf),
+                             init_feed_forward(jax.random.key(4), c))
+            w1 = p["net"]["0"]["proj"]["weight"]
+            b1 = p["net"]["0"]["proj"]["bias"]
+            inner = w1.shape[1] // 2
+            qh = quantize_dense({"weight": w1[:, :inner], "bias": b1[:inner]},
+                                absmax_per_channel(x))
+            qg = quantize_dense({"weight": w1[:, inner:], "bias": b1[inner:]},
+                                absmax_per_channel(x))
+            from genpercept_tpu.ops.quant import qdense_apply
+            a = (qdense_apply(qh, x)
+                 * jax.nn.gelu(qdense_apply(qg, x), approximate=False))
+            q2 = quantize_dense(p["net"]["2"], absmax_per_channel(a))
+            qtree = {"qh": qh, "qg": qg, "q2": q2}
+            fl = 2 * b * s * c * (8 * c) + 2 * b * s * (4 * c) * c
+
+            def int8ff(qt, x):
+                return fused_geglu_ff_int8(x, qt["qh"], qt["qg"], qt["q2"])
+
+            def bf16ff(_qt, x):
+                return fused_geglu_ff(x, w1, b1, p["net"]["2"]["weight"],
+                                      p["net"]["2"].get("bias"))
+
+            def xlaff(_qt, x):
+                return feed_forward(p, x)
+
+            for name, fn in (("int8", int8ff), ("bf16fused", bf16ff),
+                             ("xla", xlaff)):
+                try:
+                    dt = marginal_time(fn, qtree, x)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"op": f"int8ff_{name}_s{s}_c{c}",
+                                      "error": str(e)[:120]}))
+                    continue
+                print(json.dumps({"op": f"int8ff_{name}_s{s}_c{c}",
+                                  "ms": round(dt * 1e3, 2),
+                                  "tflops": round(fl / dt / 1e12, 1)}))
+
+    if args.part == "int8flash":
+        # s8 QK^T/PV flash at the UNet d=64 shapes vs the bf16 kernel —
+        # expectation (flash_attention.py docstring): VPU-bound per-logit
+        # softmax work dominates at d=64, so the s8 matmul rate doesn't pay
+        from genpercept_tpu.ops.flash_attention import (flash_attention,
+                                                        flash_attention_int8)
+
+        for s, heads in ((9216, 5), (2304, 10)):
+            d = 64
+            q = jax.random.normal(jax.random.key(1), (b, s, heads, d), bf)
+            fl = 4 * b * s * s * heads * d
+
+            def attn8(p, x):
+                return flash_attention_int8(x * p, x, x)
+
+            def attnbf(p, x):
+                return flash_attention(x * p, x, x)
+
+            for name, fn in (("int8", attn8), ("bf16", attnbf)):
+                try:
+                    dt = marginal_time(fn, jnp.ones((), bf), q)
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"op": f"int8flash_{name}_s{s}_h{heads}",
+                                      "error": str(e)[:120]}))
+                    continue
+                print(json.dumps({"op": f"int8flash_{name}_s{s}_h{heads}",
+                                  "ms": round(dt * 1e3, 2),
+                                  "tflops": round(fl / dt / 1e12, 1)}))
+
     if args.part in ("resblock", "all"):
         for hw, c in ((96, 320), (48, 640), (24, 1280), (12, 1280)):
             x = jax.random.normal(jax.random.key(5), (b, hw, hw, c), bf)

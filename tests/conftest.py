@@ -33,6 +33,9 @@ _SLOW_MODULES = {
     "test_train_surgery", "test_block_remat", "test_lora_noise_metric3d",
     "test_multihost", "test_serve", "test_bench", "test_harness",
     "test_quant_surrogate", "test_parity_real", "test_batch_api",
+    # test_quant's pipeline-level end-to-end runs (GPTQ, tiny-VAE A/Bs)
+    # alone exceed 9 min on this box — nowhere near the quick budget
+    "test_quant", "test_golden_768",
 }
 
 

@@ -441,3 +441,49 @@ def test_vae_attention_int8_and_dense_hooks():
     err = np.abs(np.asarray(out) - np.asarray(ref))
     scale = np.abs(np.asarray(ref)).max()
     assert err.mean() / scale < 0.02, err.mean() / scale
+
+
+def test_fused_geglu_ff_int8_matches_qdense_composition():
+    """Pallas int8 fused GEGLU FF (interpret mode) vs the unfused
+    qdense_apply -> gelu-mul -> qdense_apply path, symmetric and
+    asymmetric activation stats."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from genpercept_tpu.models.layers import init_feed_forward
+    from genpercept_tpu.ops.fused_ff import fused_geglu_ff_int8
+    from genpercept_tpu.ops.quant import (minmax_asym, absmax_per_channel,
+                                          qdense_apply, quantize_dense)
+
+    rng = np.random.default_rng(13)
+    c = 64
+    p = jax.tree.map(
+        lambda t: t.astype(jnp.bfloat16),
+        init_feed_forward(jax.random.key(2), c))
+    x = jnp.asarray(rng.normal(size=(1, 512, c)) + 0.3, jnp.bfloat16)
+    w1 = p["net"]["0"]["proj"]["weight"]
+    b1 = p["net"]["0"]["proj"]["bias"]
+    inner = w1.shape[1] // 2
+
+    for asym in (False, True):
+        stat = minmax_asym if asym else absmax_per_channel
+        # calibrate on the actual activations, like make_calib_dense_fn
+        hid = qdense_apply(
+            quantize_dense({"weight": w1[:, :inner], "bias": b1[:inner]},
+                           stat(x)), x)
+        gate = qdense_apply(
+            quantize_dense({"weight": w1[:, inner:], "bias": b1[inner:]},
+                           stat(x)), x)
+        a = hid * jax.nn.gelu(gate, approximate=False)
+        qh = quantize_dense({"weight": w1[:, :inner], "bias": b1[:inner]},
+                            stat(x))
+        qg = quantize_dense({"weight": w1[:, inner:], "bias": b1[inner:]},
+                            stat(x))
+        q2 = quantize_dense(p["net"]["2"], stat(a))
+        ref = qdense_apply(q2, a)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_geglu_ff_int8(x, qh, qg, q2)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=6e-2, rtol=0,
+            err_msg=f"asym={asym}")

@@ -774,3 +774,36 @@ def test_pipeline_int8_gptq_end_to_end():
     second = pipe_q(rgb).pred_np
     assert np.abs(second - ref).max() < 0.3
     assert np.abs(second - ref).mean() < 0.05
+
+
+def test_pipeline_int8_unet_ff_only():
+    """int8_unet_ff: only the GEGLU FF matmuls quantize (3 per transformer:
+    :h/:g halves + net.2); attention projections stay full precision. The
+    quantized run stays within the tiny-net error envelope. (On TPU the
+    fully-quantized FFs additionally fuse into one s8 Pallas program —
+    ops/fused_ff.py::fused_geglu_ff_int8, covered by tests/test_ops.py;
+    this CPU test drives the placement/calibration plumbing.)"""
+    import tests.test_pipeline as TP
+
+    from genpercept_tpu.ops.quant import QDense
+    from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
+
+    models = TP.tiny_models()
+    rgb = np.random.default_rng(10).uniform(size=(64, 64, 3)).astype(np.float32)
+    pipe_fp = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0))
+    pipe_q = GenPerceptPipeline(
+        models, PipelineConfig(mode="depth", processing_res=0,
+                               int8_vae=True, int8_unet=True,
+                               int8_unet_ff=True, int8_exclude=()))
+    ref = pipe_fp(rgb).pred_np
+    pipe_q(rgb)  # calibration pass
+    uq = pipe_q._params["vae_quant"]["unet"]
+    denses = {k for k, v in uq.items() if isinstance(v, QDense)}
+    assert len(uq) - len(denses) == 50  # convs unchanged
+    assert len(denses) == 16 * 3  # ff :h/:g/net.2 per spatial transformer
+    assert all(".ff.net." in k for k in denses)
+
+    second = pipe_q(rgb).pred_np
+    assert np.abs(second - ref).max() < 0.35
+    assert np.abs(second - ref).mean() < 0.06
