@@ -27,7 +27,11 @@ def marginal_time(fn, params, x, n_lo=2, n_hi=8):
             acc, p = carry
             out = fn(p, x)
             s = jnp.sum(out).astype(jnp.float32)
-            p = jax.tree.map(lambda t: t * (1.0 + s.astype(t.dtype) * 1e-30), p)
+            # perturb only inexact leaves: int8 weight planes (QDense/QConv
+            # trees) must keep their dtype or the loop carry type changes
+            p = jax.tree.map(
+                lambda t: t * (1.0 + s.astype(t.dtype) * 1e-30)
+                if jnp.issubdtype(t.dtype, jnp.inexact) else t, p)
             return (acc + s, p)
 
         return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), params))[0]
