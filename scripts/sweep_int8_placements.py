@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # name -> int8_exclude substrings (encoder placements around the known
 # endpoints: full exclusion [r2 default] ... no exclusion [19.42 @ 1.63e-2])
 PLACEMENTS = {
+    # the shipping PipelineConfig.int8_exclude default
+    "default": ("encoder.", "decoder.up_blocks.3."),
     # r3 measured 8.4e-3 @ 18.16 img/s — the known-good fallback
     "dec_full": ("encoder.",),
     # encoder high-res halves int8, deep layers (closest to the latent,
