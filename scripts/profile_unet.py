@@ -389,17 +389,23 @@ def main():
             def int8ff(qt, x):
                 return fused_geglu_ff_int8(x, qt["qh"], qt["qg"], qt["q2"])
 
-            def bf16ff(_qt, x):
-                return fused_geglu_ff(x, w1, b1, p["net"]["2"]["weight"],
-                                      p["net"]["2"].get("bias"))
+            def bf16ff(pp, x):
+                return fused_geglu_ff(x, pp["net"]["0"]["proj"]["weight"],
+                                      pp["net"]["0"]["proj"].get("bias"),
+                                      pp["net"]["2"]["weight"],
+                                      pp["net"]["2"].get("bias"))
 
-            def xlaff(_qt, x):
-                return feed_forward(p, x)
+            def xlaff(pp, x):
+                return feed_forward(pp, x)
 
-            for name, fn in (("int8", int8ff), ("bf16fused", bf16ff),
-                             ("xla", xlaff)):
+            # each fn must CONSUME the carried tree (marginal_time perturbs
+            # it per iteration) — closing over the weights instead hoists
+            # the loop body and times nothing
+            for name, fn, tree in (("int8", int8ff, qtree),
+                                   ("bf16fused", bf16ff, p),
+                                   ("xla", xlaff, p)):
                 try:
-                    dt = marginal_time(fn, qtree, x)
+                    dt = marginal_time(fn, tree, x)
                 except Exception as e:  # noqa: BLE001
                     print(json.dumps({"op": f"int8ff_{name}_s{s}_c{c}",
                                       "error": str(e)[:120]}))
