@@ -67,6 +67,7 @@ def run_rung(models, rung, batch, res, n_lo, n_hi):
     use_int8 = rung["int8"]
     cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16,
                          int8_vae=use_int8, int8_unet=use_int8,
+                         int8_unet_ff=rung.get("ff", False),
                          int8_asymmetric=rung.get("asym", True))
     single_infer = build_single_infer(models, cfg, "quant" if use_int8 else None)
 
@@ -162,7 +163,15 @@ def main():
             # asym calibration at chunk 4 OOMs the 16 GB HBM (the round-3
             # endpoint-shrink clip search tripled the per-candidate stat
             # temps; measured on-chip 2026-08-19) — chunk 2 is the asym
-            # default, and run_rung still halves further on OOM
+            # default, and run_rung still halves further on OOM.
+            # NOT in the ladder: int8_unet_ff (the fused int8 GEGLU FF).
+            # Its same-harness A/B measured +0.2 img/s at +0.1e-3 mean
+            # deviation, but FF-containing programs crashed or hung the
+            # axon TPU worker in 3 of 5 on-chip runs (2026-08-20) — a
+            # hang inside a rung cannot be caught by this ladder (the
+            # exception only surfaces minutes later, if at all), so a
+            # flaky rung turns the driver bench into a coin flip. The
+            # kernel stays opt-in (PipelineConfig.int8_unet_ff).
             dict(name="int8-asym", int8=True, asym=True, chunk=2),
             dict(name="int8-asym-c1", int8=True, asym=True, chunk=1),
             dict(name="int8-sym", int8=True, asym=False, chunk=4),

@@ -98,6 +98,11 @@ class PipelineConfig:
     # INSIDE the fused kernel instead of displacing it. Attention
     # projections stay bf16 (they were the losing part of int8_unet_dense).
     # Requires int8_unet; subsumed by int8_unet_dense when that is set.
+    # Measured (2026-08-20, same-harness A/B at the default placement):
+    # +0.2 img/s at +0.1e-3 mean deviation (7.85e-3 total, under the 1e-2
+    # bar) — but OPT-IN ONLY: FF-containing 768^2 programs crashed or hung
+    # the axon TPU worker in 3 of 5 on-chip runs, so the headline bench
+    # ladder excludes it until the Mosaic-side instability is understood.
     int8_unet_ff: bool = False
     # Calibration refinements (both computed inside the one calibration
     # program, no extra compile pass): per-channel MSE-optimal clip search

@@ -43,6 +43,14 @@ PLACEMENTS = {
     "enc_012": ("encoder.mid_block.", "encoder.down_blocks.3."),
     # everything except the encoder mid block
     "enc_all_but_mid": ("encoder.mid_block.",),
+    # encoder DEEP-only: int8 just down_blocks.2/3 + mid (256/512-deep
+    # contractions at 192^2/96^2, where the MXU's 2x int8 rate is
+    # reachable), keeping the high-res 768^2/384^2 x128 blocks bf16 —
+    # those are exactly the shapes where XLA's s8 conv emitter measured
+    # SLOWER than bf16 (21.1 vs 13.5 ms), which is why enc_01/enc_012
+    # were a throughput loss. Decoder stays at the shipping placement.
+    "enc_deep": ("encoder.down_blocks.0.", "encoder.down_blocks.1.",
+                 "decoder.up_blocks.3."),
     # r3 measured 1.63e-2 @ 19.42 img/s
     "all": (),
 }
