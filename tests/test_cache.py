@@ -14,6 +14,12 @@ def test_cache_writes_entries(tmp_path, monkeypatch):
 
     monkeypatch.setattr(cache, "_enabled", False)
     monkeypatch.delenv("GENPERCEPT_NO_CACHE", raising=False)
+    # jax's persistent cache is a lazily-initialized process-global: if an
+    # earlier test (e.g. test_bench via bench.main) already initialized it
+    # at the default dir, changing jax_compilation_cache_dir alone doesn't
+    # re-point the singleton and entries keep landing in the old dir
+    from jax._src import compilation_cache as _cc
+    _cc.reset_cache()
     d = str(tmp_path / "xla")
     assert cache.enable_compilation_cache(d) == d
     # idempotent: second call keeps the same dir, no error
@@ -28,6 +34,7 @@ def test_cache_writes_entries(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         jax.config.update("jax_compilation_cache_dir", None)
+        _cc.reset_cache()  # don't leave the singleton on the deleted tmpdir
         monkeypatch.setattr(cache, "_enabled", False)
 
 
