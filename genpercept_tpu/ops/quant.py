@@ -30,6 +30,8 @@ default and gated on a measured fidelity bound (see PipelineConfig.int8_vae).
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Dict, Tuple
 
 import jax
@@ -329,6 +331,9 @@ def calibrate_chunked(calib_fn, params, rgb, *extra, chunk: int = 4):
     n_images = 0
     for lo in range(0, b, chunk):
         hi = min(lo + chunk, b)
+        if os.environ.get("GENPERCEPT_CALIB_PROGRESS"):
+            print(f"calibrate_chunked: chunk {lo}:{hi} of {b}",
+                  file=sys.stderr, flush=True)
         pred, stats = run(lo, hi)
         preds.append(pred)
         sz = hi - lo
