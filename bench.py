@@ -24,8 +24,9 @@ must ALWAYS get a JSON line. Any failure — HBM OOM, axon remote-compile
 HTTP 500, anything raised while building/calibrating/warming a rung — moves
 the run down a fallback ladder instead of aborting:
 
-  rung 0: int8, asymmetric activations, calibration chunk 4   (default)
-  rung 1: int8, asymmetric, chunk 2    (smaller calibration live set)
+  rung 0: int8, asymmetric activations, calibration chunk 2   (default —
+          chunk 4 asym calibration OOMs the 16 GB HBM, the round-3 lesson)
+  rung 1: int8, asymmetric, chunk 1    (smaller calibration live set)
   rung 2: int8, symmetric, chunk 4     (the round-2 proven configuration)
   rung 3: exact bf16                   (no calibration program at all)
 
@@ -46,6 +47,14 @@ BASELINE_IMG_PER_S = 2.5
 RES = 768
 
 
+FIDELITY_BAR = 1e-2  # BASELINE.json per-pixel bar vs full precision
+
+
+class FidelityError(RuntimeError):
+    """int8 rung's in-run deviation vs its own calibration-pass full-
+    precision prediction exceeded FIDELITY_BAR — fall down the ladder."""
+
+
 def is_oom(e: Exception) -> bool:
     """Batch/live-set too big — halving the batch is the right response."""
     s = str(e)
@@ -53,8 +62,33 @@ def is_oom(e: Exception) -> bool:
             or "hbm" in s.lower())
 
 
+def probe_worker():
+    """Tiny matmul before each rung (CLAUDE.md recipe): after an axon TPU
+    worker crash/restart the next device op can hang ~5 min while the
+    tunnel reconnects — absorbing that into a cheap probe surfaces the
+    restart as a logged retry instead of a silent stall inside a 768^2
+    compile. Logged when slow so a mid-run restart is visible in stderr."""
+    t0 = time.perf_counter()
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    float(jnp.sum(x @ x))
+    dt = time.perf_counter() - t0
+    if dt > 5:
+        print(f"bench: worker probe took {dt:.0f}s "
+              "(TPU worker restart / tunnel reconnect absorbed)",
+              file=sys.stderr)
+
+
 def run_rung(models, rung, batch, res, n_lo, n_hi):
-    """Build + calibrate + warm one ladder rung; returns (run_n, params, rgb).
+    """Build + calibrate + warm one ladder rung; returns
+    (run_n, params, rgb, mean_dev).
+
+    mean_dev is the IN-RUN fidelity measurement for int8 rungs: the
+    calibration pass already computes the full-precision prediction for the
+    timing batch (calibrate_chunked's first return), so one extra jitted
+    forward compares the quantized pipeline's output against it on the same
+    inputs. A calibration-numerics regression therefore fails THIS run
+    (FidelityError -> next rung) instead of sailing through under a
+    cross-referenced fidelity claim. bf16 rungs report 0.0 by definition.
 
     Raises on any failure — classification (OOM vs other) is the caller's
     job. Everything expensive (compiles) happens in here so a failed rung
@@ -96,6 +130,7 @@ def run_rung(models, rung, batch, res, n_lo, n_hi):
     # calibrate different activation scales than deployment
     rgb = natural_like_images(jax.random.key(1), batch, res)
 
+    mean_dev = 0.0
     if use_int8:
         # One-time calibration, mirroring GenPerceptPipeline._run: fp stats
         # pass, per-channel quantization with the default int8_exclude
@@ -109,8 +144,8 @@ def run_rung(models, rung, batch, res, n_lo, n_hi):
         chunk = min(rung.get("chunk", 4), batch)
         while True:
             try:
-                _, stats = calibrate_chunked(calibrate, params, rgb,
-                                             chunk=chunk)
+                fp_pred, stats = calibrate_chunked(calibrate, params, rgb,
+                                                   chunk=chunk)
                 break
             except Exception as e:
                 if chunk == 1 or not is_oom(e):
@@ -134,9 +169,25 @@ def run_rung(models, rung, batch, res, n_lo, n_hi):
         params = dict(params)
         params["vae_quant"] = jax.device_put(vq)
 
+        # in-run fidelity probe (VERDICT r4 #4): one untimed quantized
+        # forward on the calibration/timing batch vs the full-precision
+        # prediction the calibration pass already produced
+        @jax.jit
+        def probe_dev(params, rgb, ref):
+            out = single_infer(params, rgb)
+            return jnp.mean(jnp.abs(out.astype(jnp.float32)
+                                    - ref.astype(jnp.float32)))
+
+        mean_dev = float(probe_dev(params, rgb, fp_pred))
+        if not mean_dev < FIDELITY_BAR:  # catches NaN too
+            raise FidelityError(
+                f"in-run int8 deviation {mean_dev:.3e} exceeds the "
+                f"{FIDELITY_BAR} bar at rung {rung['name']}")
+        del fp_pred
+
     float(run_n(params, rgb, n_lo))   # compile + warmup + full sync
     float(run_n(params, rgb, n_hi))   # compile the long loop too
-    return run_n, params, rgb
+    return run_n, params, rgb, mean_dev
 
 
 def main():
@@ -184,12 +235,15 @@ def main():
 
     run_n = params = rgb = None
     rung_used = None
+    mean_dev = 0.0
     last_err = None
     for rung in rungs:
         while True:
             try:
-                run_n, params, rgb = run_rung(models, rung, batch, res,
-                                              n_lo, n_hi)
+                if on_tpu:
+                    probe_worker()  # absorb a worker-restart hang cheaply
+                run_n, params, rgb, mean_dev = run_rung(models, rung, batch,
+                                                        res, n_lo, n_hi)
                 rung_used = rung
                 break
             except Exception as e:  # ladder: never leave the driver empty
@@ -232,11 +286,14 @@ def main():
                 "p50_latency_ms": round(dt / batch * 1000, 2),
                 "platform": jax.devices()[0].platform,
                 "rung": rung_used["name"],
+                # measured IN THIS RUN: quantized output vs the calibration
+                # pass's full-precision prediction on the timing batch
+                # (run_rung's probe; a rung over the bar falls down the
+                # ladder instead of reporting)
+                "mean_dev": round(mean_dev, 6),
                 "numerics": (
-                    # fidelity of this placement is measured separately
-                    # (scripts/profile_int8_vae.py), not by this run
-                    "w8a8-int8 default placement; fidelity per "
-                    "scripts/profile_int8_vae.py (<=1e-2 bar)"
+                    "w8a8-int8 default placement; in-run mean deviation "
+                    f"vs full precision {mean_dev:.2e} (<=1e-2 bar)"
                     if use_int8 else "bf16"
                 ),
             }

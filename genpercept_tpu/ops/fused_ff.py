@@ -188,16 +188,18 @@ def supported_int8(b: int, s: int, c: int) -> bool:
     return False
 
 
-def fused_geglu_ff_int8(x: jax.Array, qh, qg, q2) -> jax.Array:
+def fused_geglu_ff_int8(x: jax.Array, qh, qg, q2,
+                        row_blk: int | None = None) -> jax.Array:
     """x: (B, S, C); qh/qg: QDense for the GEGLU hidden/gate column halves
     (din=C, dout=inner); q2: QDense for the down-projection (inner, C).
     Inference-only (the int8 path has no training story). Numerically
     equivalent to qdense_apply(qh/qg) -> gelu-mul -> qdense_apply(q2); see
-    tests/test_ops.py."""
+    tests/test_ops.py. row_blk overrides the per-program row block (the
+    VMEM high-water knob; scripts/stress_int8_ff.py sweeps it)."""
     bsz, s, c = x.shape
     inner = qh.w_int8.shape[1]
     rows = bsz * s
-    rb = _ROW_BLK if c <= 320 else 256
+    rb = row_blk or (_ROW_BLK if c <= 320 else 256)
     asym = qh.zp is not None or q2.zp is not None
 
     out = pl.pallas_call(

@@ -21,9 +21,19 @@ stack (wiring, GN eps, attention scaling, timestep embedding, resize) at
 full geometry; scripts/parity_real.py covers the real-weights load path
 the day weights exist on disk.
 
+Three decode paths (VERDICT r4 #6 — one golden per checkpoint family):
+  --path genpercept  one-step, VAE decode (depth/normal/matting/... family)
+  --path dpt         one-step, feature taps -> DPT head -> min-max
+                     (the disparity-dpt-head checkpoint;
+                     reference genpercept_pipeline.py:474-482,
+                     dpt_head.py:416-560)
+  --path marigold    K-step DDIM, 8-ch concat UNet (conv_in 4->8 surgery
+                     per genpercept_trainer.py:539-558), decode of the
+                     final pred_x0 (genpercept_pipeline.py:443-463)
+
 Usage:
-  python scripts/make_torch_golden.py [--res 768] [--out golden/torch_golden_768.npz]
-  python scripts/make_torch_golden.py --compare [--out ...]   # both halves
+  python scripts/make_torch_golden.py [--res 768] [--path dpt] [--out ...]
+  python scripts/make_torch_golden.py --compare [--path ...]  # both halves
 """
 
 import argparse
@@ -42,6 +52,7 @@ SD_HEADS = (5, 10, 20, 20)
 SD_CTX = 1024
 UNET_SEED = 0
 VAE_SEED = 1
+DPT_SEED = 2
 BAR = 1e-2
 
 
@@ -119,6 +130,140 @@ def run_torch(res: int, out_path: str) -> dict:
     return rec
 
 
+def build_torch_dpt():
+    import torch
+
+    from genpercept_tpu.models import DPTHeadConfig
+    import tests.test_models as TM
+
+    torch.manual_seed(DPT_SEED)
+    return TM._build_torch_dpt(DPTHeadConfig()).eval()
+
+
+def run_torch_dpt(res: int, out_path: str) -> dict:
+    """DPT-head decode path: unet feature taps (reversed) -> neck/fusion ->
+    head -> per-image min-max (genpercept_pipeline.py:474-482)."""
+    import torch
+
+    unet, vae = build_torch_models()
+    dpt = build_torch_dpt()
+    rgb, ctx = golden_inputs(res)
+
+    t0 = time.time()
+    with torch.no_grad():
+        x = torch.from_numpy(rgb).permute(0, 3, 1, 2) * 2.0 - 1.0
+        z = vae.encode(x)
+        _, feats = unet(z, torch.tensor([1]), torch.from_numpy(ctx))
+        pred = dpt(list(reversed(feats)))
+        lo = pred.amin(dim=(1, 2), keepdim=True)
+        hi = pred.amax(dim=(1, 2), keepdim=True)
+        pred = (pred - lo) / torch.clamp(hi - lo, min=1e-6)
+    dt = time.time() - t0
+
+    rec = {
+        "rgb": rgb,
+        "ctx": ctx,
+        "z": z.permute(0, 2, 3, 1).numpy(),
+        "pred": pred.numpy(),
+        "meta": json.dumps({
+            "res": res, "path": "dpt", "unet_seed": UNET_SEED,
+            "vae_seed": VAE_SEED, "dpt_seed": DPT_SEED,
+            "torch": torch.__version__, "timestep": 1,
+            "torch_seconds": round(dt, 1),
+        }),
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez_compressed(out_path, **rec)
+    print(json.dumps({"op": "torch_golden_dpt", "res": res,
+                      "seconds": round(dt, 1), "out": out_path,
+                      "pred_mean": float(pred.mean()),
+                      "pred_std": float(pred.std())}), flush=True)
+    return rec
+
+
+def _conv_in_8ch(unet):
+    """conv_in 4->8 surgery: weights duplicated along the input axis and
+    halved, bias kept (reference genpercept_trainer.py:539-558)."""
+    import torch
+    from torch import nn
+
+    old = unet.conv_in
+    new = nn.Conv2d(8, old.out_channels, 3, padding=1)
+    with torch.no_grad():
+        new.weight.copy_(torch.cat([old.weight, old.weight], dim=1) * 0.5)
+        new.bias.copy_(old.bias)
+    unet.conv_in = new
+    return unet
+
+
+def run_torch_marigold(res: int, out_path: str, steps: int) -> dict:
+    """Marigold slow path: K-step DDIM (eta=0, v-prediction, leading
+    spacing, SD2.1 scaled_linear betas), 8-ch [rgb_latent | pred_latent]
+    concat input, decode of the final pred_x0
+    (genpercept_pipeline.py:443-465; DDIM algebra per
+    src/customized_modules/ddim.py:144-217 / diffusers DDIMScheduler)."""
+    import jax  # CPU-side key only, for a deterministic noise draw
+    import torch
+
+    unet, vae = build_torch_models()
+    unet = _conv_in_8ch(unet)
+    rgb, ctx = golden_inputs(res)
+    noise = np.asarray(
+        jax.random.normal(jax.random.key(5), (1, res // 8, res // 8, 4)),
+        np.float32)
+
+    # scheduler tables, transcribed from the reference spec: scaled_linear
+    # betas (sqrt-space linspace, squared), T=1000, leading spacing with
+    # steps_offset 1, set_alpha_to_one=false -> final abar = abar[0]
+    T = 1000
+    betas = np.linspace(0.00085 ** 0.5, 0.012 ** 0.5, T,
+                        dtype=np.float64) ** 2
+    acum = np.cumprod(1.0 - betas)
+    ratio = T // steps
+    timesteps = (np.arange(steps) * ratio).round()[::-1].astype(int) + 1
+
+    t0 = time.time()
+    with torch.no_grad():
+        xin = torch.from_numpy(rgb).permute(0, 3, 1, 2) * 2.0 - 1.0
+        z = vae.encode(xin)
+        x = torch.from_numpy(noise).permute(0, 3, 1, 2)
+        ctx_t = torch.from_numpy(ctx)
+        for t in timesteps:
+            v, _ = unet(torch.cat([z, x], dim=1), torch.tensor([t]), ctx_t)
+            a_t = float(acum[t])
+            prev_t = t - ratio
+            a_prev = float(acum[prev_t]) if prev_t >= 0 else float(acum[0])
+            x0 = (a_t ** 0.5) * x - ((1.0 - a_t) ** 0.5) * v
+            eps = (a_t ** 0.5) * v + ((1.0 - a_t) ** 0.5) * x
+            x = (a_prev ** 0.5) * x0 + ((1.0 - a_prev) ** 0.5) * eps
+        dec = vae.decode(x0)
+        pred = dec.mean(dim=1).clamp(-1.0, 1.0)
+        pred = (pred + 1.0) / 2.0
+    dt = time.time() - t0
+
+    rec = {
+        "rgb": rgb,
+        "ctx": ctx,
+        "noise": noise,
+        "z": z.permute(0, 2, 3, 1).numpy(),
+        "pred": pred.numpy(),
+        "meta": json.dumps({
+            "res": res, "path": "marigold", "steps": steps,
+            "unet_seed": UNET_SEED, "vae_seed": VAE_SEED,
+            "torch": torch.__version__,
+            "timesteps": [int(t) for t in timesteps],
+            "torch_seconds": round(dt, 1),
+        }),
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez_compressed(out_path, **rec)
+    print(json.dumps({"op": "torch_golden_marigold", "res": res,
+                      "steps": steps, "seconds": round(dt, 1),
+                      "out": out_path, "pred_mean": float(pred.mean()),
+                      "pred_std": float(pred.std())}), flush=True)
+    return rec
+
+
 def compare_ours(out_path: str) -> int:
     """Run OUR pipeline on the golden input with the golden weights and
     enforce the bar. Returns a process exit code."""
@@ -139,27 +284,44 @@ def compare_ours(out_path: str) -> int:
         golden = {k: zf[k] for k in zf.files}
     meta = json.loads(str(golden["meta"]))
     res = meta["res"]
+    path = meta.get("path", "genpercept")
 
     unet_t, vae_t = build_torch_models()
+    if path == "marigold":
+        unet_t = _conv_in_8ch(unet_t)
+    dpt_params = None
+    if path == "dpt":
+        dpt_params = torch_module_to_pytree(
+            build_torch_dpt(),
+            drop_keys=("neck.fusion_stage.layers.0.residual_layer1",))
     models = GenPerceptModels(
         unet=torch_module_to_pytree(unet_t),
         vae=torch_module_to_pytree(vae_t),
-        unet_cfg=UNetConfig(block_out_channels=SD_C,
+        unet_cfg=UNetConfig(in_channels=8 if path == "marigold" else 4,
+                            block_out_channels=SD_C,
                             attention_heads=SD_HEADS,
                             cross_attention_dim=SD_CTX),
         vae_cfg=VAEConfig(block_out_channels=(128, 256, 512, 512)),
+        dpt_head=dpt_params,
         text_embed=jnp.asarray(golden["ctx"]),
     )
     del unet_t, vae_t
-    cfg = PipelineConfig(mode="depth", dtype=jnp.float32)
+    if path == "marigold":
+        cfg = PipelineConfig(mode="depth", arch="marigold",
+                             denoising_steps=meta["steps"],
+                             dtype=jnp.float32)
+    else:
+        cfg = PipelineConfig(mode="depth", dtype=jnp.float32)
     infer = jax.jit(build_single_infer(models, cfg))
     t0 = time.time()
-    pred = np.asarray(infer(models.params(), jnp.asarray(golden["rgb"])))
+    extra = ((jnp.asarray(golden["noise"]),) if path == "marigold" else ())
+    pred = np.asarray(
+        infer(models.params(), jnp.asarray(golden["rgb"]), *extra))
     dt = time.time() - t0
 
     err = np.abs(pred - golden["pred"])
     rec = {
-        "op": "golden_768_parity",
+        "op": f"golden_768_parity_{path}",
         "backend": jax.default_backend(),
         "seconds": round(dt, 1),
         "mean": float(err.mean()),
@@ -175,8 +337,14 @@ def compare_ours(out_path: str) -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=768)
-    ap.add_argument("--out", default=os.path.join(
-        ROOT, "golden", "torch_golden_768.npz"))
+    ap.add_argument("--path", default="genpercept",
+                    choices=["genpercept", "dpt", "marigold"],
+                    help="decode path / checkpoint family to golden")
+    ap.add_argument("--steps", type=int, default=10,
+                    help="DDIM steps for --path marigold")
+    ap.add_argument("--out", default="",
+                    help="npz path (default: golden/torch_golden_<res>"
+                         "[_<path>].npz)")
     ap.add_argument("--compare", action="store_true",
                     help="also run our pipeline and enforce the bar "
                          "(generates the golden first if missing)")
@@ -184,10 +352,20 @@ def main():
                     help="regenerate the golden even if the npz exists")
     args = ap.parse_args()
 
-    if args.force or not os.path.exists(args.out):
-        run_torch(args.res, args.out)
+    out = args.out or os.path.join(
+        ROOT, "golden",
+        f"torch_golden_{args.res}"
+        + ("" if args.path == "genpercept" else f"_{args.path}") + ".npz")
+
+    if args.force or not os.path.exists(out):
+        if args.path == "dpt":
+            run_torch_dpt(args.res, out)
+        elif args.path == "marigold":
+            run_torch_marigold(args.res, out, args.steps)
+        else:
+            run_torch(args.res, out)
     if args.compare:
-        sys.exit(compare_ours(args.out))
+        sys.exit(compare_ours(out))
 
 
 if __name__ == "__main__":

@@ -21,6 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def marginal_time(fn, params, x, n_lo=2, n_hi=8):
+    # the loop-carry perturbation below only touches inexact leaves; a tree
+    # with none (e.g. an all-int qtree) would silently re-enable XLA's
+    # loop-invariant hoisting and report a plausibly-fast wrong number
+    assert any(jnp.issubdtype(t.dtype, jnp.inexact)
+               for t in jax.tree.leaves(params)), (
+        "marginal_time needs >=1 inexact leaf in params to defeat hoisting")
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_n(params, x, n):
         def body(i, carry):

@@ -67,9 +67,11 @@ def main():
     ap.add_argument("--placements", default="",
                     help="comma-separated subset of placement names")
     ap.add_argument("--throughput", default="",
-                    help="measure the timed loop for this placement name")
+                    help="comma-separated placement names to ALSO measure "
+                         "the timed loop for (each adds 2 loop compiles)")
     args = ap.parse_args()
     b = args.batch
+    throughput_names = {n for n in args.throughput.split(",") if n}
 
     from __graft_entry__ import _flagship_models
     from genpercept_tpu.ops.quant import (
@@ -133,7 +135,7 @@ def main():
                 "max": round(float(err.max()), 5),
                 "pass_1e-2": bool(err.mean() <= 1e-2),
             }), flush=True)
-            if args.throughput == name and mode == modes[-1]:
+            if name in throughput_names and mode == modes[-1]:
                 single = build_single_infer(models, cfg, "quant")
 
                 @functools.partial(jax.jit, static_argnames=("n",))

@@ -75,6 +75,44 @@ def test_bench_ladder_falls_back(monkeypatch, capsys):
     assert rec["value"] > 0
 
 
+def test_bench_int8_reports_in_run_fidelity(monkeypatch, capsys):
+    """The int8 rung's JSON must carry a mean_dev measured in THIS run
+    (VERDICT r4 #4), not a cross-reference to a separate script."""
+    import __graft_entry__
+    import bench
+
+    monkeypatch.setattr(__graft_entry__, "_flagship_models", _tiny_flagship)
+    monkeypatch.setenv("BENCH_INT8", "1")
+    monkeypatch.setenv("BENCH_BATCH", "1")
+
+    bench.main()
+
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    if "int8" in rec["numerics"]:
+        assert 0 <= rec["mean_dev"] < bench.FIDELITY_BAR
+        assert "in-run mean deviation" in rec["numerics"]
+
+
+def test_bench_fidelity_failure_falls_down_ladder(monkeypatch, capsys):
+    """A calibration-numerics regression (deviation over the bar) must fall
+    down the ladder to bf16, not report under the <=1e-2 banner. Forced by
+    shrinking the bar below any real quantization error."""
+    import __graft_entry__
+    import bench
+
+    monkeypatch.setattr(__graft_entry__, "_flagship_models", _tiny_flagship)
+    monkeypatch.setenv("BENCH_INT8", "1")
+    monkeypatch.setenv("BENCH_BATCH", "1")
+    monkeypatch.setattr(bench, "FIDELITY_BAR", 0.0)  # any dev >= 0 fails
+
+    bench.main()
+
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rung"] == "bf16"
+    assert rec["numerics"] == "bf16"
+    assert rec["mean_dev"] == 0.0
+
+
 def test_bench_oom_halves_batch(monkeypatch, capsys):
     """OOM-shaped errors retry the SAME rung at half the batch."""
     import __graft_entry__

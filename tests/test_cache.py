@@ -17,9 +17,16 @@ def test_cache_writes_entries(tmp_path, monkeypatch):
     # jax's persistent cache is a lazily-initialized process-global: if an
     # earlier test (e.g. test_bench via bench.main) already initialized it
     # at the default dir, changing jax_compilation_cache_dir alone doesn't
-    # re-point the singleton and entries keep landing in the old dir
-    from jax._src import compilation_cache as _cc
-    _cc.reset_cache()
+    # re-point the singleton and entries keep landing in the old dir.
+    # reset_cache is a private API — if a jax upgrade moves it, skip rather
+    # than reintroduce the order-dependent flake as a hard ImportError.
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except (ImportError, AttributeError):
+        import pytest
+        pytest.skip("jax._src.compilation_cache.reset_cache unavailable; "
+                    "cannot re-point the cache singleton in-process")
     d = str(tmp_path / "xla")
     assert cache.enable_compilation_cache(d) == d
     # idempotent: second call keeps the same dir, no error
@@ -34,7 +41,10 @@ def test_cache_writes_entries(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         jax.config.update("jax_compilation_cache_dir", None)
-        _cc.reset_cache()  # don't leave the singleton on the deleted tmpdir
+        try:  # don't leave the singleton on the deleted tmpdir
+            _cc.reset_cache()
+        except AttributeError:
+            pass
         monkeypatch.setattr(cache, "_enabled", False)
 
 
