@@ -290,8 +290,10 @@ def flash_attention_int8(q: jax.Array, k: jax.Array, v: jax.Array,
     flash_attention. Worth it ONLY where the matmuls dominate the kernel —
     the d=512 VAE mid-block (512-deep MXU contractions); at the UNet's
     d=64 the kernel is VPU-bound on per-logit softmax work and the extra
-    quantize/round per logit would make it slower, so the bf16 kernel
-    stays the UNet path."""
+    quantize/round per logit makes it SLOWER — measured on v5e
+    (scripts/profile_unet.py --part int8flash, batch 16, 2026-08-20):
+    s=9216 h=5: 32.8 ms int8 vs 21.6 ms bf16; s=2304 h=10: 6.3 vs 4.1 ms.
+    The bf16 kernel stays the UNet path."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, sq, h, d = q.shape

@@ -130,14 +130,24 @@ def run_torch(res: int, out_path: str) -> dict:
     return rec
 
 
+def _dpt_cfg():
+    from genpercept_tpu.models import DPTHeadConfig
+
+    # identity final activation — the disparity-dpt checkpoint family's
+    # head (reference dpt_head.py:585-593 ...Identity; its output is
+    # min-max normalized downstream). Also the only non-vacuous choice for
+    # a random-init golden: the relu head's final activation zeroes every
+    # pixel of an untrained network, making a 0-vs-0 "parity" meaningless.
+    return DPTHeadConfig(final_act="identity")
+
+
 def build_torch_dpt():
     import torch
 
-    from genpercept_tpu.models import DPTHeadConfig
     import tests.test_models as TM
 
     torch.manual_seed(DPT_SEED)
-    return TM._build_torch_dpt(DPTHeadConfig()).eval()
+    return TM._build_torch_dpt(_dpt_cfg()).eval()
 
 
 def run_torch_dpt(res: int, out_path: str) -> dict:
@@ -159,6 +169,9 @@ def run_torch_dpt(res: int, out_path: str) -> dict:
         hi = pred.amax(dim=(1, 2), keepdim=True)
         pred = (pred - lo) / torch.clamp(hi - lo, min=1e-6)
     dt = time.time() - t0
+    assert float(pred.std()) > 1e-4, (
+        "degenerate DPT golden (constant prediction) — a parity check "
+        "against it would be vacuous")
 
     rec = {
         "rgb": rgb,
@@ -303,6 +316,7 @@ def compare_ours(out_path: str) -> int:
                             cross_attention_dim=SD_CTX),
         vae_cfg=VAEConfig(block_out_channels=(128, 256, 512, 512)),
         dpt_head=dpt_params,
+        dpt_cfg=_dpt_cfg(),
         text_embed=jnp.asarray(golden["ctx"]),
     )
     del unet_t, vae_t

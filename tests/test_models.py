@@ -276,8 +276,14 @@ def _build_torch_dpt(cfg: DPTHeadConfig):
             h = self.head["head"]["0"](h)
             h = F.interpolate(h, scale_factor=2.0, mode="bilinear", align_corners=True)
             h = F.relu(self.head["head"]["2"](h))
-            h = self.head["head"]["4"](h)
-            return F.relu(h).squeeze(1)
+            h = self.head["head"]["4"](h).squeeze(1)
+            # final activation zoo (reference dpt_head.py:564-593 Identity
+            # variant; dpt_head_elu.py:183-221 ELU+1)
+            if cfg.final_act == "relu":
+                return F.relu(h)
+            if cfg.final_act == "elu_plus_one":
+                return F.elu(h) + 1.0
+            return h
 
     return TorchDPT()
 
