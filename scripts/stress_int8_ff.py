@@ -154,6 +154,87 @@ def stress_unet(iters):
     return True
 
 
+def throughput_ab(reps):
+    """End-to-end A/B at the default placement: int8 with vs without the
+    fused FF, same loop-carried marginal harness as bench.py, `reps`
+    alternating measurements per arm (stability + throughput in one run)."""
+    import functools
+
+    from __graft_entry__ import _flagship_models
+    from genpercept_tpu.pipeline import PipelineConfig, build_single_infer
+    from genpercept_tpu.ops.quant import (apply_bias_correction,
+                                          calibrate_chunked,
+                                          quantize_from_stats)
+    from genpercept_tpu.utils.synthetic import natural_like_images
+
+    models = _flagship_models(jnp.bfloat16)
+    rgb = natural_like_images(jax.random.key(1), 16, 768)
+    arms = {}
+    for name, ff in (("noff", False), ("ff", True)):
+        cfg = PipelineConfig(mode="depth", dtype=jnp.bfloat16, int8_vae=True,
+                             int8_unet=True, int8_unet_ff=ff,
+                             int8_asymmetric=True)
+        params = models.params()
+        calibrate = jax.jit(build_single_infer(models, cfg, "calibrate"))
+        log(f"{name}: calibrating")
+        fp, stats = calibrate_chunked(calibrate, params, rgb, chunk=2)
+
+        def keep(s, excl=cfg.int8_exclude):
+            return {k: v for k, v in s.items()
+                    if not any(e in k for e in excl)}
+
+        vq = {
+            "enc": quantize_from_stats(models.vae, keep(stats["enc"]), 1.0),
+            "dec": quantize_from_stats(models.vae, keep(stats["dec"]), 1.0),
+            "unet": quantize_from_stats(models.unet, keep(stats["unet"]),
+                                        1.0, asymmetric_downsample=False),
+        }
+        vq = {k: apply_bias_correction(v, stats["corr"][k])
+              for k, v in vq.items()}
+        params = dict(params)
+        params["vae_quant"] = jax.device_put(vq)
+        single = build_single_infer(models, cfg, "quant")
+
+        @jax.jit
+        def probe_dev(params, rgb, ref, single=single):
+            out = single(params, rgb)
+            return jnp.mean(jnp.abs(out.astype(jnp.float32)
+                                    - ref.astype(jnp.float32)))
+
+        dev = float(probe_dev(params, rgb, fp))
+        log(f"{name}: mean_dev {dev:.3e}")
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run_n(params, rgb, n, single=single):
+            def body(i, carry):
+                acc, x = carry
+                out = single(params, x)
+                s = jnp.sum(out)
+                return (acc + s, x * (1.0 + s * 1e-30))
+            return jax.lax.fori_loop(0, n, body, (jnp.float32(0.0), rgb))[0]
+
+        log(f"{name}: warming the timing loops")
+        float(run_n(params, rgb, 2))
+        float(run_n(params, rgb, 8))
+        arms[name] = (run_n, params, dev)
+
+    for r in range(reps):
+        for name, (run_n, params, dev) in arms.items():
+            t0 = time.perf_counter()
+            float(run_n(params, rgb, 2))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(run_n(params, rgb, 8))
+            dt = (time.perf_counter() - t0 - t_lo) / 6
+            print(json.dumps({"op": "throughput", "arm": name, "rep": r,
+                              "img_per_s": round(16 / dt, 2),
+                              "mean_dev": round(dev, 6)}), flush=True)
+            pdt = probe()
+            if pdt > 2:
+                log(f"rep {r} {name}: probe {pdt:.1f}s (worker hiccup?)")
+    return True
+
+
 def stress_vmem(iters, asym):
     """Kernel-alone sweep: row block x vmem_limit at both shapes. A config
     that crashes here pins the Mosaic-side budget; all-clean points at the
@@ -186,7 +267,7 @@ def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="kernel",
-                    choices=["kernel", "unet", "vmem"])
+                    choices=["kernel", "unet", "vmem", "throughput"])
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--sym", action="store_true")
     args = ap.parse_args()
@@ -199,6 +280,8 @@ def main():
         ok = stress_kernel(args.iters, not args.sym)
     elif args.part == "unet":
         ok = stress_unet(args.iters)
+    elif args.part == "throughput":
+        ok = throughput_ab(max(1, args.iters))
     else:
         ok = stress_vmem(args.iters, not args.sym)
         ok = True

@@ -483,7 +483,12 @@ def test_fused_geglu_ff_int8_matches_qdense_composition():
 
         with pltpu.force_tpu_interpret_mode():
             out = fused_geglu_ff_int8(x, qh, qg, q2)
+            # row_blk override (the VMEM-budget knob) must not change values
+            out_rb = fused_geglu_ff_int8(x, qh, qg, q2, row_blk=128)
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             atol=6e-2, rtol=0,
             err_msg=f"asym={asym}")
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(out_rb, np.float32),
+            err_msg=f"row_blk changed values, asym={asym}")
