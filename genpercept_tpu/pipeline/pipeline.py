@@ -149,16 +149,18 @@ class PipelineConfig:
     # UNet's d=64 attention is VPU-bound and stays bf16. Requires int8_vae.
     int8_vae_attn: bool = False
     # Placement: layers whose path contains any of these substrings stay
-    # full precision. The default is the measured max-fidelity placement
-    # (v5e sweep, scripts/profile_int8_vae.py): the VAE *encoder* is the
-    # dominant fidelity cost — latent-space errors amplify through the
-    # whole UNet+decoder chain, and quantizing it doubles the end-to-end
-    # deviation (mean 0.99e-2 -> 2.09e-2) — and the decoder's 128-channel
-    # tail (decoder.up_blocks.3) buys the final margin under the 1e-2 bar
-    # (1.06e-2 -> 0.99e-2; its 128-deep contractions also can't reach the
-    # MXU's 2x int8 rate in isolation). This placement measures 18.2 img/s
-    # vs 16.3 bf16; set to () for maximum throughput (19.6 img/s at 2x the
-    # deviation).
+    # full precision. The default is BOTH the max-fidelity placement and
+    # the measured throughput ARGMAX of the 7-placement v5e sweep
+    # (scripts/sweep_int8_placements.py, asym chunk-2, 2026-08-20; full
+    # table in README): 20.0 img/s at mean dev 4.8e-3 vs 16.3 bf16.
+    # Fidelity: the VAE *encoder* is the dominant cost — latent-space
+    # errors amplify through the whole UNet+decoder chain (partial encoder
+    # placements sit at 7.1-9.9e-3; everything-int8 fails at 1.02e-2).
+    # Throughput: every deeper placement measured SLOWER — the 768^2 x128
+    # shapes (encoder down 0-1, decoder up_blocks.3 tail) are where XLA's
+    # s8 conv emitter loses to bf16 (dec_full 18.2, enc_01 18.7), and even
+    # the MXU-friendly deep-only encoder placement loses to the
+    # quantize/dequantize VPU overhead (enc_deep 18.8, all 19.5).
     int8_exclude: tuple = ("encoder.", "decoder.up_blocks.3.")
 
     def __post_init__(self):
