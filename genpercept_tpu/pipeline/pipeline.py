@@ -98,11 +98,12 @@ class PipelineConfig:
     # INSIDE the fused kernel instead of displacing it. Attention
     # projections stay bf16 (they were the losing part of int8_unet_dense).
     # Requires int8_unet; subsumed by int8_unet_dense when that is set.
-    # Measured (2026-08-20, same-harness A/B at the default placement):
-    # +0.2 img/s at +0.1e-3 mean deviation (7.85e-3 total, under the 1e-2
-    # bar) — but OPT-IN ONLY: FF-containing 768^2 programs crashed or hung
-    # the axon TPU worker in 3 of 5 on-chip runs, so the headline bench
-    # ladder excludes it until the Mosaic-side instability is understood.
+    # Measured (scripts/stress_int8_ff.py --part throughput, same-process
+    # alternating A/B, 2026-08-20): +0.2 img/s (18.37 vs 18.16) at
+    # mean_dev 4.98e-3 vs 4.93e-3, stable over 5 reps. The round-4
+    # "worker crash" shelving was root-caused to a retryable cold-compile
+    # transport error, not a kernel fault (200 isolated + 20 composite
+    # dispatches clean) — bench.py's rung 0 now runs with this on.
     int8_unet_ff: bool = False
     # Calibration refinements (both computed inside the one calibration
     # program, no extra compile pass): per-channel MSE-optimal clip search
@@ -149,18 +150,19 @@ class PipelineConfig:
     # UNet's d=64 attention is VPU-bound and stays bf16. Requires int8_vae.
     int8_vae_attn: bool = False
     # Placement: layers whose path contains any of these substrings stay
-    # full precision. The default is BOTH the max-fidelity placement and
-    # the measured throughput ARGMAX of the 7-placement v5e sweep
-    # (scripts/sweep_int8_placements.py, asym chunk-2, 2026-08-20; full
-    # table in README): 20.0 img/s at mean dev 4.8e-3 vs 16.3 bf16.
-    # Fidelity: the VAE *encoder* is the dominant cost — latent-space
-    # errors amplify through the whole UNet+decoder chain (partial encoder
-    # placements sit at 7.1-9.9e-3; everything-int8 fails at 1.02e-2).
-    # Throughput: every deeper placement measured SLOWER — the 768^2 x128
-    # shapes (encoder down 0-1, decoder up_blocks.3 tail) are where XLA's
-    # s8 conv emitter loses to bf16 (dec_full 18.2, enc_01 18.7), and even
-    # the MXU-friendly deep-only encoder placement loses to the
-    # quantize/dequantize VPU overhead (enc_deep 18.8, all 19.5).
+    # full precision. The default is the max-FIDELITY placement of the
+    # 7-placement v5e sweep (scripts/sweep_int8_placements.py, asym
+    # chunk-2, 2026-08-20; full table in README): mean dev 4.8e-3 — the
+    # VAE *encoder* is the dominant fidelity cost (latent-space errors
+    # amplify through the whole UNet+decoder chain; partial encoder
+    # placements sit at 7.1-9.9e-3, everything-int8 fails the 1e-2 bar at
+    # 1.02e-2). Throughput (same-process sweep column): deeper placements
+    # are FASTER (default 18.15 -> enc_deep 18.83 -> all 19.43), so
+    # bar-passing deeper placements like enc_deep trade ~0.7 img/s for
+    # ~1.5x the deviation; bench.py's BENCH_PLACEMENT knob measures them
+    # in the lean headline harness. (Round-4's "encoder int8 is a
+    # throughput loss" was a cross-harness artifact — the sweep process
+    # measures the same program ~8% slower than bench.py.)
     int8_exclude: tuple = ("encoder.", "decoder.up_blocks.3.")
 
     def __post_init__(self):
