@@ -67,9 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "refinements (A/B against plain absmax scales)")
     p.add_argument("--int8_exclude", default=None, metavar="SUBSTR[,..]",
                    help="layers whose path contains any of these stay full "
-                        "precision (default: the measured-bad placements, "
-                        "encoder. and decoder.up_blocks.3.; pass 'none' "
-                        "for maximum-throughput placement)")
+                        "precision (default 'enc_deep': encoder high-res "
+                        "down-blocks 0-1 + decoder 128ch tail, ~7e-3 mean "
+                        "dev; 'encoder.,decoder.up_blocks.3.' is the "
+                        "max-fidelity placement at ~4.8e-3; pass 'none' to "
+                        "quantize everything — fails the 1e-2 bar)")
     p.add_argument("--int8_calibration", default=None, metavar="NPZ",
                    help="calibration cache: load the int8 weight tree from "
                         "this file if it exists, else calibrate on the "

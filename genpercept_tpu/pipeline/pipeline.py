@@ -131,9 +131,17 @@ class PipelineConfig:
     # additionally accumulates each conv input's code-domain Gram matrix
     # (conv_input_hessian) and the weights round with sequential error
     # compensation instead of round-to-nearest. Zero runtime cost (same
-    # int8 tensors); calibration-time only. Off by default pending the
-    # on-chip fidelity A/B; enable for trained checkpoints where weight
-    # rounding error is material (heavy-tailed channels).
+    # int8 tensors); calibration-time only. On-chip A/B
+    # (sweep_int8_placements --gptq, 2026-08-20): a consistent -8..9%
+    # mean deviation at every placement (default 7.05e-3 -> 6.46e-3,
+    # enc_012 9.57 -> 8.71e-3, everything-int8 9.97 -> 9.03e-3 — GPTQ
+    # flips the all-int8 placement under the 1e-2 bar) — but the
+    # Gram-collecting calibration runs 12x longer (2881 s vs 236 s at
+    # 768^2 b16: chunk-1 chunks + ~85 MB/layer Gram D2H). Off by default
+    # because the fidelity margin is already ample at the default
+    # placement; enable it (ideally with save_calibration to amortize the
+    # one-time cost) for deployments at thin-margin placements or
+    # heavy-tailed trained checkpoints.
     int8_gptq: bool = False
     # Per-output-channel MSE clip search on the activation-folded WEIGHTS
     # (ops/quant.py::_mse_optimal_clip_cols). Measured on the heavy-tail
@@ -150,20 +158,25 @@ class PipelineConfig:
     # UNet's d=64 attention is VPU-bound and stays bf16. Requires int8_vae.
     int8_vae_attn: bool = False
     # Placement: layers whose path contains any of these substrings stay
-    # full precision. The default is the max-FIDELITY placement of the
-    # 7-placement v5e sweep (scripts/sweep_int8_placements.py, asym
-    # chunk-2, 2026-08-20; full table in README): mean dev 4.8e-3 — the
-    # VAE *encoder* is the dominant fidelity cost (latent-space errors
-    # amplify through the whole UNet+decoder chain; partial encoder
-    # placements sit at 7.1-9.9e-3, everything-int8 fails the 1e-2 bar at
-    # 1.02e-2). Throughput (same-process sweep column): deeper placements
-    # are FASTER (default 18.15 -> enc_deep 18.83 -> all 19.43), so
-    # bar-passing deeper placements like enc_deep trade ~0.7 img/s for
-    # ~1.5x the deviation; bench.py's BENCH_PLACEMENT knob measures them
-    # in the lean headline harness. (Round-4's "encoder int8 is a
-    # throughput loss" was a cross-harness artifact — the sweep process
-    # measures the same program ~8% slower than bench.py.)
-    int8_exclude: tuple = ("encoder.", "decoder.up_blocks.3.")
+    # full precision. The default is the "enc_deep" point of the v5e
+    # placement sweep (scripts/sweep_int8_placements.py + bench.py
+    # BENCH_PLACEMENT, asym chunk-2, 2026-08-20; full table in README):
+    # int8 everywhere EXCEPT the encoder's high-res down-blocks 0-1 (their
+    # 768^2/384^2 x128 shapes don't profit from s8) and the decoder's
+    # 128-ch tail — 21.93 img/s in the bench harness at mean dev 6.0e-3
+    # in-run / 7.1e-3 cross-batch, a ~30% margin under the 1e-2 bar.
+    # The VAE *encoder* is the dominant fidelity cost (latent-space errors
+    # amplify through the whole UNet+decoder chain): quantizing down 0-1-2
+    # too ("enc_012", 22.70 img/s) thins the margin to 9.9e-3 cross-batch,
+    # and everything-int8 fails the bar at 1.02e-2. Maximum-fidelity
+    # placement: ("encoder.", "decoder.up_blocks.3.") at 4.8e-3 (the
+    # round-2..4 default, ~2 img/s slower). Throughput/fidelity points are
+    # only comparable within one harness — the sweep's heavyweight process
+    # measures the SAME program ~8% slower than bench.py (round-4's
+    # "encoder int8 is a throughput loss" was that cross-harness artifact).
+    int8_exclude: tuple = ("encoder.down_blocks.0.",
+                           "encoder.down_blocks.1.",
+                           "decoder.up_blocks.3.")
 
     def __post_init__(self):
         if self.arch == "genpercept":

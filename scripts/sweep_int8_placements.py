@@ -32,8 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # name -> int8_exclude substrings (encoder placements around the known
 # endpoints: full exclusion [r2 default] ... no exclusion [19.42 @ 1.63e-2])
 PLACEMENTS = {
-    # the shipping PipelineConfig.int8_exclude default
-    "default": ("encoder.", "decoder.up_blocks.3."),
+    # the shipping PipelineConfig.int8_exclude default (== enc_deep below;
+    # flipped round 5 after the same-harness throughput column inverted
+    # the round-4 cross-harness ordering — see README)
+    "default": ("encoder.down_blocks.0.", "encoder.down_blocks.1.",
+                "decoder.up_blocks.3."),
+    # the round-2..4 default: max fidelity (4.8e-3), ~2 img/s slower
+    "max_fidelity": ("encoder.", "decoder.up_blocks.3."),
     # r3 measured 8.4e-3 @ 18.16 img/s — the known-good fallback
     "dec_full": ("encoder.",),
     # encoder high-res halves int8, deep layers (closest to the latent,

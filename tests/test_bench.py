@@ -137,5 +137,5 @@ def test_bench_oom_halves_batch(monkeypatch, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["batch"] == 1
     # same rung retried at 4 -> 2 -> 1, no rung change
-    assert seen[:3] == [("int8-asym-ff", 4), ("int8-asym-ff", 2),
-                        ("int8-asym-ff", 1)]
+    assert seen[:3] == [("int8-enc012-ff", 4), ("int8-enc012-ff", 2),
+                        ("int8-enc012-ff", 1)]

@@ -361,11 +361,13 @@ def test_pallas_quantized_conv3x3_matches_xla_qconv():
                                   np.asarray(ref_b.astype(jnp.float32)))
 
 
-def test_default_int8_placement_excludes_encoder_and_decoder_tail():
-    """The default int8_exclude keeps the VAE encoder (dominant fidelity
-    cost: latent errors amplify downstream) and the decoder's 128-channel
-    tail (128-deep contractions are slower in int8 than bf16 on the MXU)
-    in full precision."""
+def test_default_int8_placement_is_enc_deep():
+    """The default int8_exclude is the 'enc_deep' sweep point: the
+    encoder's high-res down-blocks 0-1 (768^2/384^2 x128 shapes where s8
+    does not pay and the fidelity cost is largest — latent errors amplify
+    downstream) and the decoder's 128-channel tail stay full precision;
+    the deep encoder blocks, the rest of the decoder, and the UNet convs
+    quantize."""
     import tests.test_pipeline as TP
 
     from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
@@ -377,10 +379,22 @@ def test_default_int8_placement_excludes_encoder_and_decoder_tail():
                                int8_vae=True, int8_unet=True))
     pipe(rgb)
     vq = pipe._params["vae_quant"]
-    assert len(vq["enc"]) == 0
-    assert len(vq["dec"]) == 31 - 6  # up_blocks.3: 3 resnets x 2 convs
+    assert not any("down_blocks.0." in k or "down_blocks.1." in k
+                   for k in vq["enc"])
+    assert any("mid_block" in k for k in vq["enc"])  # deep encoder is int8
     assert not any("up_blocks.3." in k for k in vq["dec"])
+    assert len(vq["dec"]) == 31 - 6  # up_blocks.3: 3 resnets x 2 convs
     assert len(vq["unet"]) == 50
+
+
+def test_bench_placement_table_matches_pipeline_default():
+    """bench.py's PLACEMENTS['default'] must stay in sync with the
+    production PipelineConfig.int8_exclude default."""
+    import bench
+
+    from genpercept_tpu.pipeline import PipelineConfig
+
+    assert tuple(bench.PLACEMENTS["default"]) == PipelineConfig.int8_exclude
 
 
 # ---------------------------------------------------- asymmetric activations
