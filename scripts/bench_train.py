@@ -39,6 +39,15 @@ def main():
     # but the backward holds ONE unit's internals at a time -> larger
     # micro-batches fit the 16 GB chip
     ap.add_argument("--block_remat", action="store_true")
+    # the frozen VAE decoder's backward only needs d/dlatent; per-block
+    # remat trades one decoder-fwd recompute for not holding its
+    # activations. With the native-dtype GroupNorm apply (ops/norms.py)
+    # the held activations shrank ~2x — this flag measures whether the
+    # recompute still pays for itself (profile_train_phases r5: decode is
+    # the dominant phase of the step)
+    ap.add_argument("--no_decode_remat", dest="decode_remat",
+                    action="store_false")
+    ap.set_defaults(decode_remat=True)
     # production cli.train loads fp32 master weights (bf16 is this bench's
     # default to mirror the memory-lean config); use --fp32_masters to
     # measure the exact production dtype mix (fp32 masters, bf16 compute)
@@ -62,6 +71,7 @@ def main():
         adam_mu_dtype=jnp.bfloat16,
         remat_unet=args.remat,
         remat_granularity="block" if args.block_remat else "unet",
+        remat_vae_decode=args.decode_remat,
     )
     trainable, frozen, tx, opt_state = init_train_state(models.params(), cfg)
     step_inner = build_train_step(cfg, models, tx)
@@ -125,6 +135,7 @@ def main():
         "res": hw,
         "remat": args.remat,
         "granularity": "block" if args.block_remat else "unet",
+        "decode_remat": args.decode_remat,
         "platform": jax.devices()[0].platform,
     }))
 

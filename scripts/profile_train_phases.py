@@ -173,7 +173,10 @@ def main():
             rgb[..., 0].astype(jnp.float32) + 2.0))
 
     if "adam" in parts:
-        grads = jax.tree.map(lambda p: jnp.ones(p.shape, jnp.float32), trainable)
+        # grads in the PARAM dtype: optax.apply_updates promotes the carry
+        # otherwise (f32 updates on bf16 masters), and the fori_loop carry
+        # must keep one type across iterations
+        grads = jax.tree.map(lambda p: jnp.ones(p.shape, p.dtype), trainable)
 
         def step(g, c, i):
             tr, opt = c
