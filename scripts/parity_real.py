@@ -72,15 +72,16 @@ def _load_images(args):
     return imgs, [f"synthetic_{i:02d}" for i in range(args.batch)]
 
 
-def _run(models, mode, dtype, imgs, int8=False):
+def _run(models, mode, dtype, imgs, int8=False, int8_exclude=None):
     import jax
     import jax.numpy as jnp
 
     from genpercept_tpu.pipeline import GenPerceptPipeline, PipelineConfig
 
+    extra = {} if int8_exclude is None else {"int8_exclude": int8_exclude}
     cfg = PipelineConfig(mode=mode, dtype=dtype, processing_res=0,
                          match_input_res=False,
-                         int8_vae=int8, int8_unet=int8)
+                         int8_vae=int8, int8_unet=int8, **extra)
     pipe = GenPerceptPipeline(models, cfg)
     x = jnp.asarray(imgs)
     if int8:
@@ -103,6 +104,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--res", type=int, default=768)
     ap.add_argument("--skip_int8", action="store_true")
+    ap.add_argument("--int8_exclude", default=None, metavar="SUBSTR[,..]",
+                    help="int8 placement override (as cli.run); default is "
+                         "the production PipelineConfig placement")
     ap.add_argument("--skip_fp32", action="store_true",
                     help="bf16 + int8 only (fp32 at 768^2 can OOM 16 GB)")
     args = ap.parse_args()
@@ -142,8 +146,11 @@ def main():
         base_ckpt_dir=args.base_ckpt_dir)
     preds["bf16"] = _run(models_bf16, args.mode, jnp.bfloat16, imgs)
     if not args.skip_int8:
+        excl = (None if args.int8_exclude is None else
+                () if args.int8_exclude == "none" else
+                tuple(s for s in args.int8_exclude.split(",") if s))
         preds["int8"] = _run(models_bf16, args.mode, jnp.bfloat16, imgs,
-                             int8=True)
+                             int8=True, int8_exclude=excl)
 
     for k, p in preds.items():
         np.savez(os.path.join(args.out, f"pred_{k}.npz"),
