@@ -309,14 +309,22 @@ def main():
     if rung_used is None:
         raise SystemExit(f"bench: every ladder rung failed; last: {last_err}")
 
-    t0 = time.perf_counter()
-    s_lo = float(run_n(params, rgb, n_lo))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    s_hi = float(run_n(params, rgb, n_hi))
-    t_hi = time.perf_counter() - t0
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
-    assert s_lo == s_lo and s_hi == s_hi, "NaN in benchmark output"
+    # three (lo, hi) marginal pairs, median dt: single pairs measured a
+    # ±7% spread across runs (21.97/22.70/25.21 img/s for the identical
+    # program, 2026-08-20) — tunnel relay jitter lands in the host-side
+    # timestamps; the median of three pairs stabilizes the driver's one
+    # sample at the cost of ~4 extra loop executions
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s_lo = float(run_n(params, rgb, n_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s_hi = float(run_n(params, rgb, n_hi))
+        t_hi = time.perf_counter() - t0
+        dts.append((t_hi - t_lo) / (n_hi - n_lo))
+        assert s_lo == s_lo and s_hi == s_hi, "NaN in benchmark output"
+    dt = sorted(dts)[1]
 
     img_per_s = batch / dt
     use_int8 = rung_used["int8"]

@@ -112,6 +112,14 @@ class PipelineConfig:
     # quantized bias). Roughly halves the int8-vs-bf16 deviation at no
     # runtime cost; off only for A/B against the plain absmax scheme.
     int8_refine: bool = True
+    # After calibration, run the quantized pipeline once on the calibration
+    # batch and compare against the full-precision prediction already in
+    # hand (the same probe bench.py gates its rungs with): logs a warning
+    # and records GenPerceptPipeline.int8_mean_dev if the deviation
+    # exceeds 1e-2 on the deployment's OWN data. One extra batch-forward
+    # on the first batch only; no new compile (the quantized program runs
+    # every later batch anyway).
+    int8_selfcheck: bool = True
     # Asymmetric (zero-point) per-channel ACTIVATION quantization
     # (ops/quant.py::mse_optimal_clip_asym). The quantized conv inputs sit
     # after GroupNorm+SiLU whose output is bounded below (-0.278) but not
@@ -472,6 +480,7 @@ class GenPerceptPipeline:
         self._infer = jax.jit(
             build_single_infer(models, cfg, "quant" if cfg.int8_vae else None))
         self._calibrated = not cfg.int8_vae
+        self.int8_mean_dev = None  # set by the post-calibration self-check
         if cfg.int8_vae:
             self._calib_infer = jax.jit(
                 build_single_infer(models, cfg, "calibrate"))
@@ -538,6 +547,24 @@ class GenPerceptPipeline:
                 vq = jax.device_put(vq, self._repl)
             self._params["vae_quant"] = vq
             self._calibrated = True
+            if self.cfg.int8_selfcheck:
+                # one untimed quantized forward vs the fp prediction just
+                # computed — catches a calibration-numerics problem on the
+                # deployment's own data instead of silently serving it
+                q_pred = self._infer(self._params, x, noise)
+                self.int8_mean_dev = float(jnp.mean(jnp.abs(
+                    jnp.asarray(q_pred, jnp.float32)
+                    - jnp.asarray(pred, jnp.float32))))
+                if self.int8_mean_dev > 1e-2:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "int8 self-check: mean deviation %.3e vs full "
+                        "precision on the calibration batch exceeds the "
+                        "1e-2 bar — consider a shallower int8_exclude "
+                        "placement (max fidelity: ('encoder.', "
+                        "'decoder.up_blocks.3.')) or int8_gptq",
+                        self.int8_mean_dev)
             return pred
         return self._infer(self._params, x, noise)
 

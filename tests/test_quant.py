@@ -162,11 +162,18 @@ def test_pipeline_int8_vae_end_to_end():
     assert len(pipe_q._params["vae_quant"]["enc"]) == 23
     assert len(pipe_q._params["vae_quant"]["dec"]) == 31
 
+    # the post-calibration self-check ran on the first batch: one quantized
+    # forward vs the fp prediction, recorded for deployment observability
+    assert pipe_q.int8_mean_dev is not None
+    assert np.isfinite(pipe_q.int8_mean_dev)
+
     second = pipe_q(rgb).pred_np  # int8 path
     # tiny-channel worst case (see test_calibrate_then_quant_vae_decode);
     # full-size parity is measured on-chip by scripts/profile_int8_vae.py
     assert np.abs(second - ref).max() < 0.3
     assert np.abs(second - ref).mean() < 0.05
+    # the recorded self-check deviation is the same comparison (same batch)
+    assert abs(pipe_q.int8_mean_dev - np.abs(second - ref).mean()) < 0.02
 
 
 def test_pipeline_int8_unet_end_to_end():
