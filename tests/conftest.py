@@ -8,6 +8,13 @@ multi-chip sharding paths are exercised without hardware.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: harness presets JAX_PLATFORMS=axon
+# Persistent-cache CPU AOT entries can carry machine features the current
+# host lacks (xla cpu_aot_loader warns "+prefer-no-scatter ... could lead
+# to execution errors such as SIGILL" when loading them) — one hard-crashed
+# test run was traced to this. Tests compile tiny programs in seconds, so
+# the cache buys nothing here; disable it for the whole pytest process and
+# every subprocess the tests spawn.
+os.environ["GENPERCEPT_NO_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
