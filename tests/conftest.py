@@ -11,10 +11,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # force: harness presets JAX_PLATFORMS=axon
 # Persistent-cache CPU AOT entries can carry machine features the current
 # host lacks (xla cpu_aot_loader warns "+prefer-no-scatter ... could lead
 # to execution errors such as SIGILL" when loading them) — one hard-crashed
-# test run was traced to this. Tests compile tiny programs in seconds, so
-# the cache buys nothing here; disable it for the whole pytest process and
-# every subprocess the tests spawn.
-os.environ["GENPERCEPT_NO_CACHE"] = "1"
+# full-suite run was traced to this. Point the whole pytest session (and
+# every subprocess the tests spawn) at a FRESH cache dir: entries written
+# during the session are compiled on this host (feature-compatible, and
+# still shared across the session's subprocess tests), while stale
+# foreign-host entries in the user cache are never loaded.
+import tempfile
+
+os.environ.setdefault(
+    "GENPERCEPT_CACHE_DIR",
+    tempfile.mkdtemp(prefix="genpercept_test_xla_"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
